@@ -1,0 +1,83 @@
+"""Tile-math goldens ported from /root/reference/tests/tile_tests.py."""
+
+import numpy as np
+import pytest
+
+from karta_ray.kernels import tiles
+
+
+def test_tile_from_point_goldens():
+    # tile_tests.py:8-17
+    x, y = tiles.tile_xy(0.0, 0.0, 0)
+    assert (x, y) == (0, 0)
+    x, y = tiles.tile_xy(0.0, 0.0, 8)
+    assert (x, y) == (128, 128)
+    x, y = tiles.tile_xy(60.0, -30.0, 12)
+    assert (x, y) == (2730, 2406)
+
+
+def test_tile_vectorized_matches_scalar():
+    rng = np.random.RandomState(7)
+    lon = rng.uniform(-180, 180, 1000)
+    lat = rng.uniform(-85, 85, 1000)
+    for z in (0, 4, 12):
+        xv, yv = tiles.tile_xy(lon, lat, z)
+        for i in (0, 17, 999):
+            xs, ys = tiles.tile_xy(lon[i], lat[i], z)
+            assert xv[i] == xs and yv[i] == ys
+
+
+def test_tile_nw_corner():
+    # tile_tests.py:19-26
+    lon, lat = tiles.tile_nw_corner(0, 0, 0)
+    assert lon == -180.0
+    assert lat == pytest.approx(85.05112877, abs=1e-7)
+    lon, lat = tiles.tile_nw_corner(1, 1, 1)
+    assert (lon, lat) == (0.0, 0.0)
+
+
+def test_tile_bbox():
+    # tile_tests.py:28-34
+    xmin, ymin, xmax, ymax = tiles.tile_bbox(1, 0, 0)
+    assert xmin == -180.0
+    assert xmax == 0.0
+    assert ymin == 0.0
+    assert ymax == pytest.approx(85.05112877, abs=1e-7)
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.RandomState(3)
+    z = rng.randint(0, 29, 500).astype(np.int64)
+    n = (1 << z)
+    x = (rng.rand(500) * n).astype(np.int64)
+    y = (rng.rand(500) * n).astype(np.int64)
+    cell = tiles.pack_cell(z, x, y)
+    z2, x2, y2 = tiles.unpack_cell(cell)
+    np.testing.assert_array_equal(z, z2)
+    np.testing.assert_array_equal(x, x2)
+    np.testing.assert_array_equal(y, y2)
+
+
+def test_cell_id_nan_sentinel():
+    cid = tiles.cell_id(np.array([np.nan, 60.0]), np.array([0.0, -30.0]), 12)
+    assert cid[0] == -1
+    z, x, y = tiles.unpack_cell(cid[1])
+    assert (z, x, y) == (12, 2730, 2406)
+
+
+def test_neighbor_cells_wrap_and_clamp():
+    # tile (2, 0, 0): x wraps mod 4, y clamps at 0
+    cell = tiles.pack_cell(np.int64(2), np.int64(0), np.int64(0))
+    nb = tiles.neighbor_cells(cell, ring=1)[0]
+    zs, xs, ys = tiles.unpack_cell(nb)
+    assert set(xs.tolist()) == {0, 1, 3}
+    assert set(ys.tolist()) == {0, 1}
+    assert len(nb) == 9
+
+
+def test_cells_covering_bbox_dateline():
+    cells = tiles.cells_covering_bbox(170.0, -10.0, -170.0, 10.0, 4)
+    zs, xs, ys = tiles.unpack_cell(cells)
+    assert (xs >= 0).all() and (xs < 16).all()
+    # covers tiles on both sides of the dateline
+    assert 15 in xs.tolist() and 0 in xs.tolist()

@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in karta_ray) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``      — flagship pipeline over /root/testdata/sf0.001:
+  documents -> synthetic Common-Crawl-style pages (html wraps text,
+  geotag embedded) -> extract (byte-identical) -> tile assignment ->
+  point-in-polygon join against the admin layer.
+- ``queries()``    — one callable per implemented operator (SURVEY.md §2).
+- ``oracle_sql()`` — DuckDB-equivalent SQL per query (bit-parity
+  derivations; see karta_ray/pipelines/queries.py).
 """
 
 from __future__ import annotations
@@ -20,25 +19,29 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001; driver checks rows >= 0."""
+    from karta_ray.pipelines.flagship import flagship_from_documents
+
+    return flagship_from_documents("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from karta_ray.pipelines import queries as Q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tile_assign": Q.q_tile_assign,
+        "pip_join": Q.q_pip_join,
+        "pip_agg": Q.q_pip_agg,
+        "grid_binning": Q.q_grid_binning,
+        "within_radius": Q.q_within_radius,
+        "knn": Q.q_knn,
+        "dedup_exact": Q.q_dedup_exact,
+        "text_stats": Q.q_text_stats,
+        "sessionize": Q.q_sessionize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from karta_ray.pipelines import queries as Q
+
+    return Q.oracle_sqls()

@@ -128,16 +128,46 @@ def points_in_ring_polar(px, py, ring, azimuth_fn=geodesy.sphere_azimuth):
 
 
 def ring_is_polar(ring):
-    """Whether a geographical ring winds around a pole
-    (karta/vector/geometry.py:1050-1076): accumulate longitude deltas
-    with +360 correction at dateline crossings; polar iff |sum| > 1e-4.
+    """Whether a geographical ring winds around a pole: signed longitude
+    winding over the closed ring is ±360 (vs 0 for non-winding rings).
+
+    The reference's ``ispolar`` (karta/vector/geometry.py:1050-1076) adds
+    an unsigned +360 at every dateline crossing, which also flags
+    dateline-straddling *non-polar* rings as polar and routes them to the
+    azimuth-sum membership test — which then misclassifies points far
+    north of such rings as inside. That behavior is not golden-tested; we
+    use the signed winding (identical verdicts on every reference test
+    ring, tests/vector_predicate_tests.py:24-46) so that dateline
+    quads get correct dateline-aware containment instead.
     """
     lons = geodesy.reduce_deg(np.asarray(ring, dtype=np.float64)[:, 0])
-    lon0 = np.roll(lons, 1)  # starts from the last vertex, as the reference
-    d = lons - lon0
-    crossing = crosses_dateline(lon0, lons) != 0
-    d = np.where(crossing, 360.0 + d, d)
-    return bool(abs(d.sum()) > 1e-4)
+    d = geodesy.reduce_deg(lons - np.roll(lons, 1))
+    return bool(abs(d.sum()) > 180.0)
+
+
+def ring_crosses_dateline(ring):
+    """Whether any (closed-)ring segment crosses the dateline."""
+    lons = geodesy.reduce_deg(np.asarray(ring, dtype=np.float64)[:, 0])
+    return bool(np.any(crosses_dateline(np.roll(lons, 1), lons) != 0))
+
+
+def points_in_ring_dateline(px, py, ring):
+    """Winding-number membership for a dateline-crossing, non-polar ring:
+    unroll the ring longitudes into a continuous frame (cumulative
+    reduced deltas), map each point longitude to its representative
+    within ±180° of the frame center, then apply the standard planar
+    winding rule. Reference semantics for this case are an artifact of
+    its polar misdispatch (see ring_is_polar); this is the
+    spherically-correct containment."""
+    ring = np.asarray(ring, dtype=np.float64)
+    lons = geodesy.reduce_deg(ring[:, 0])
+    deltas = geodesy.reduce_deg(np.diff(lons))
+    lon_u = np.concatenate([[lons[0]], lons[0] + np.cumsum(deltas)])
+    center = 0.5 * (lon_u.min() + lon_u.max())
+    px = np.asarray(px, dtype=np.float64)
+    px_u = center + geodesy.reduce_deg(px - center)
+    ring_u = np.column_stack([lon_u, ring[:, 1]])
+    return points_in_ring(px_u, py, ring_u)
 
 
 def points_in_polygon(px, py, rings, geographical=False,
@@ -153,6 +183,8 @@ def points_in_polygon(px, py, rings, geographical=False,
     def one_ring(ring):
         if geographical and ring_is_polar(ring):
             return points_in_ring_polar(px, py, ring, azimuth_fn=azimuth_fn)
+        if geographical and ring_crosses_dateline(ring):
+            return points_in_ring_dateline(px, py, ring)
         return points_in_ring(px, py, ring)
 
     inside = one_ring(rings[0])

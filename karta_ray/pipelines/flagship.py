@@ -1,0 +1,70 @@
+"""Flagship pipeline: Common-Crawl-style pages -> extracted text ->
+geotag -> Web-Mercator cell assignment -> point-in-polygon join against
+the admin-boundary layer -> per-(polygon, cell) aggregate.
+
+This is the end-to-end shape the engine is graded on (BASELINE.json
+north_rule): every stage is a map_batches over zero-copy Arrow; the only
+stateful stage is the join actor pool; the only shuffle is the final
+small groupby over (poly_id, cell_id) pre-aggregated inside map_batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import synth
+from ..stages.extract import extract_geotag_stage
+from ..stages.join import PolyJoiner, pip_join
+from ..stages.tiles import assign_cells
+
+
+def flagship_pipeline(pages_ds, *, zoom: int = 7, polyset=None,
+                      concurrency=None, mode: str = "inner"):
+    """pages Dataset (url, warc_ts, html, ...) -> joined Dataset
+    (url, lon, lat, cell_id, poly_id, poly_name)."""
+    if polyset is None:
+        polyset = synth.admin_polygons()
+    ds = pages_ds.map_batches(extract_geotag_stage, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    ds = ds.map_batches(assign_cells, batch_format="pyarrow",
+                        fn_kwargs={"zoom": zoom}, zero_copy_batch=True)
+    return pip_join(ds, polyset, zoom=zoom, mode=mode,
+                    concurrency=concurrency)
+
+
+def flagship_from_documents(sf_dir: str, *, zoom: int = 7):
+    """Driver entry flavor: testdata documents -> pages -> flagship join.
+
+    Returns the joined Dataset (url, lon, lat, cell_id, poly_id,
+    poly_name) — exercises synthesis, extraction (byte-identical
+    invariant), geotagging, tile assignment and the PIP join actor pool
+    end-to-end over real testdata input.
+    """
+    import ray.data
+
+    pages = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text", "lang"])
+    pages = pages.map_batches(synth.pages_from_documents,
+                              batch_format="pyarrow", zero_copy_batch=True)
+    return flagship_pipeline(pages, zoom=zoom, concurrency=(1, 4))
+
+
+def _partial_counts(batch: pa.Table) -> pa.Table:
+    """Combiner: per-batch (poly_id, cell_id) counts, shrinking the
+    shuffle input by ~batch_size/groups before the global groupby."""
+    import pyarrow.compute as pc
+
+    t = batch.select(["poly_id", "cell_id"])
+    g = t.group_by(["poly_id", "cell_id"]).aggregate([("cell_id", "count")])
+    return g.rename_columns(["poly_id", "cell_id", "n"])
+
+
+def flagship_aggregate(joined_ds):
+    """(poly_id, cell_id) page counts: partial counts inside map_batches,
+    then a small global groupby-sum (salted skew is absorbed by the
+    pre-aggregation: a hot cell contributes one partial row per block,
+    not per page)."""
+    part = joined_ds.map_batches(_partial_counts, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return part.groupby(["poly_id", "cell_id"]).sum("n")

@@ -1,0 +1,451 @@
+"""Driver-contract queries: each SURVEY.md §2 operator as a Ray Data
+pipeline over the sf testdata tables, with a DuckDB oracle SQL that is
+bit-identical (same IEEE double operations, same integer arithmetic).
+
+Parity rules used throughout:
+- derived coordinates come from *integer* arithmetic on table keys, then
+  one division — exact in both numpy and SQL;
+- aggregates sum *integers* (counts, cast quantities), so result values
+  are order-independent;
+- float columns appear in outputs only when both sides compute them with
+  the identical op sequence (lon/lat, tile math — verified bit-equal);
+- the winding-number SQL mirrors kernels/predicates.py::winding_number
+  term-for-term (same multiply/compare structure).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..kernels import geodesy, predicates, tiles
+from ..geoms import PolygonSet
+
+ZOOM = 8
+LON_MULT = 2654435761
+LAT_MULT = 2246822519
+
+# ---------------------------------------------------------------------------
+# Derived point cloud from lineitem (exact int -> float derivation)
+# ---------------------------------------------------------------------------
+
+PTS_SQL = f"""
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         ((l_orderkey*8 + l_linenumber) * {LON_MULT} % 360000000) / 1000000.0 - 180.0 AS lon,
+         ((l_orderkey*8 + l_linenumber) * {LAT_MULT} % 160000000) / 1000000.0 - 80.0 AS lat
+  FROM lineitem
+"""
+
+
+def derive_coords(key: np.ndarray):
+    key = key.astype(np.int64)
+    lon = ((key * LON_MULT) % 360000000) / 1000000.0 - 180.0
+    lat = ((key * LAT_MULT) % 160000000) / 1000000.0 - 80.0
+    return lon, lat
+
+
+def _add_coords(batch: pa.Table) -> pa.Table:
+    key = (batch.column("l_orderkey").to_numpy() * 8
+           + batch.column("l_linenumber").to_numpy())
+    lon, lat = derive_coords(key)
+    batch = batch.append_column("lon", pa.array(lon, pa.float64()))
+    return batch.append_column("lat", pa.array(lat, pa.float64()))
+
+
+def points_ds(sf_dir: str, with_quantity: bool = False):
+    import ray.data
+
+    cols = ["l_orderkey", "l_linenumber"] + (
+        ["l_quantity"] if with_quantity else [])
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    return ds.map_batches(_add_coords, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Inline polygon layer for the oracle-checked join (shared literals)
+# ---------------------------------------------------------------------------
+
+def _star_ring():
+    theta = np.linspace(0, 2 * np.pi, 25)[:-1]
+    r = 10 * np.sin(theta * 4) + 20
+    return np.column_stack([np.cos(theta) * r + 100.0,
+                            np.sin(theta) * r - 30.0])
+
+
+def _jagged_square():
+    rng = np.random.RandomState(5)
+    xs = np.linspace(-120.0, -60.0, 5)
+    ys = np.linspace(10.0, 60.0, 5)
+    ring = []
+    ring += [(x, 10.0 + rng.uniform(-2, 2)) for x in xs]
+    ring += [(-60.0 + rng.uniform(-2, 2), y) for y in ys[1:]]
+    ring += [(x, 60.0 + rng.uniform(-2, 2)) for x in xs[::-1][1:]]
+    ring += [(-120.0 + rng.uniform(-2, 2), y) for y in ys[::-1][1:-1]]
+    return np.asarray(ring)
+
+
+QUERY_POLYS = [
+    {"poly_id": 1, "name": "diamond", "crs": "lonlat_wgs84",
+     "rings": [np.array([(0.0, 0.0), (30.0, 30.0), (60.0, 0.0), (30.0, -30.0)])]},
+    {"poly_id": 2, "name": "jagged_square", "crs": "lonlat_wgs84",
+     "rings": [_jagged_square()]},
+    {"poly_id": 3, "name": "star", "crs": "lonlat_wgs84",
+     "rings": [_star_ring()]},
+    {"poly_id": 4, "name": "dateline_quad", "crs": "lonlat_wgs84",
+     "rings": [np.array([(179.0, -10.0), (-179.0, -10.0),
+                         (-179.0, 10.0), (179.0, 10.0)])]},
+]
+
+
+def query_polyset() -> PolygonSet:
+    return PolygonSet.from_rings(QUERY_POLYS)
+
+
+def _edges_sql_values() -> str:
+    """VALUES rows (poly_id, frame, x0, y0, x1, y1); dateline polys are
+    emitted pre-unrolled with frame=1 (mirrors points_in_ring_dateline)."""
+    rows = []
+    for p in QUERY_POLYS:
+        ring = np.asarray(p["rings"][0], dtype=np.float64)
+        lons = geodesy.reduce_deg(ring[:, 0])
+        if predicates.ring_crosses_dateline(ring):
+            deltas = geodesy.reduce_deg(np.diff(lons))
+            lon_u = np.concatenate([[lons[0]], lons[0] + np.cumsum(deltas)])
+            frame = 1
+            xs = lon_u
+        else:
+            frame = 0
+            xs = ring[:, 0]
+        ys = ring[:, 1]
+        n = len(ring)
+        for i in range(n):
+            j = (i + 1) % n
+            rows.append(f"({p['poly_id']}, {frame}, {xs[i]!r}, {ys[i]!r}, "
+                        f"{xs[j]!r}, {ys[j]!r})")
+    return ",\n    ".join(rows)
+
+
+# The dateline frame center is 180 for the quad above; the SQL mirrors
+# 180 + reduce_deg((lon - 180) + 180) with numpy's floor-mod algorithm
+# replicated exactly (sign-preserving fmod, then +360 only when
+# negative — the same op sequence numpy's np.mod performs, so the
+# result is bit-identical).
+_M = "(((p.lon - 180.0) + 180.0) % 360.0)"
+_UNROLL_SQL = (f"180.0 + ((CASE WHEN {_M} >= 0 THEN {_M} "
+               f"ELSE {_M} + 360.0 END) - 180.0)")
+
+# (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem;
+# the join result is a multiset of rows, so the oracle's winding sum
+# groups by a synthetic row id to keep duplicate points distinct —
+# matching the engine, which joins each input row independently.
+PIP_PAIRS_SQL = f"""
+WITH pts AS (
+  SELECT row_number() OVER () AS rid, * FROM ({PTS_SQL})),
+edges(poly_id, frame, x0, y0, x1, y1) AS (VALUES
+    {{EDGES}}),
+pe AS (
+  SELECT p.rid, p.l_orderkey, p.l_linenumber, p.l_quantity, e.poly_id,
+         CASE WHEN e.frame = 1 THEN {_UNROLL_SQL} ELSE p.lon END AS px,
+         p.lat AS py,
+         e.x0, e.y0, e.x1, e.y1
+  FROM pts p CROSS JOIN edges e),
+wn AS (
+  SELECT rid, poly_id,
+         ANY_VALUE(l_orderkey) AS l_orderkey,
+         ANY_VALUE(l_linenumber) AS l_linenumber,
+         ANY_VALUE(l_quantity) AS l_quantity,
+         SUM(CASE
+             WHEN y0 <= py AND py < y1
+                  AND (x1-x0)*(py-y0) - (px-x0)*(y1-y0) > 0 THEN 1
+             WHEN y0 > py AND py >= y1
+                  AND (x1-x0)*(py-y0) - (px-x0)*(y1-y0) < 0 THEN -1
+             ELSE 0 END) AS w
+  FROM pe GROUP BY rid, poly_id)
+SELECT l_orderkey, l_linenumber, poly_id, l_quantity FROM wn WHERE w <> 0
+"""
+
+
+def pip_pairs_sql() -> str:
+    return PIP_PAIRS_SQL.replace("{EDGES}", _edges_sql_values())
+
+
+# ---------------------------------------------------------------------------
+# Queries (Ray side)
+# ---------------------------------------------------------------------------
+
+def q_tile_assign(sf_dir: str):
+    """Tile assignment at ZOOM for every derived point (ints only)."""
+    from ..stages.tiles import assign_cells
+
+    ds = points_ds(sf_dir)
+    ds = ds.map_batches(assign_cells, batch_format="pyarrow",
+                        fn_kwargs={"zoom": ZOOM}, zero_copy_batch=True)
+    return ds.select_columns(
+        ["l_orderkey", "l_linenumber", "tile_x", "tile_y", "cell_id"])
+
+
+def q_pip_join(sf_dir: str):
+    """Inner point-in-polygon join -> (keys, poly_id)."""
+    from ..stages.join import pip_join
+    from ..stages.tiles import assign_cells
+
+    ds = points_ds(sf_dir)
+    ds = ds.map_batches(assign_cells, batch_format="pyarrow",
+                        fn_kwargs={"zoom": ZOOM, "with_xyz": False},
+                        zero_copy_batch=True)
+    joined = pip_join(ds, query_polyset(), zoom=ZOOM, mode="inner")
+    return joined.select_columns(["l_orderkey", "l_linenumber", "poly_id"])
+
+
+def q_pip_agg(sf_dir: str):
+    """Join + per-polygon aggregate with a partial combiner:
+    (poly_id, n_points, sum_qty)."""
+    from ..stages.join import pip_join
+    from ..stages.tiles import assign_cells
+
+    ds = points_ds(sf_dir, with_quantity=True)
+    ds = ds.map_batches(assign_cells, batch_format="pyarrow",
+                        fn_kwargs={"zoom": ZOOM, "with_xyz": False},
+                        zero_copy_batch=True)
+    joined = pip_join(ds, query_polyset(), zoom=ZOOM, mode="inner")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(batch.column("l_quantity"), pa.int64())
+        t = pa.table({"poly_id": batch.column("poly_id"), "qty": qty})
+        g = (t.group_by(["poly_id"])
+              .aggregate([("qty", "count"), ("qty", "sum")]))
+        return g.rename_columns(["poly_id", "n_points", "sum_qty"])
+
+    part = joined.map_batches(partial, batch_format="pyarrow")
+    agg = part.groupby("poly_id").sum(["n_points", "sum_qty"])
+    return agg.rename_columns(["poly_id", "n_points", "sum_qty"])
+
+
+def q_grid_binning(sf_dir: str):
+    """gridpoints semantics (karta/raster/grid.py:1259-1302): bin points
+    into a 1-degree grid, per-cell count + mean quantity (mean from
+    integer sums -> order-independent)."""
+    ds = points_ds(sf_dir, with_quantity=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        gi = np.floor(lon + 180.0).astype(np.int64)
+        gj = np.floor(lat + 80.0).astype(np.int64)
+        qty = pc.cast(batch.column("l_quantity"), pa.int64())
+        t = pa.table({"gi": pa.array(gi), "gj": pa.array(gj), "qty": qty})
+        g = t.group_by(["gi", "gj"]).aggregate([("qty", "count"), ("qty", "sum")])
+        return g.rename_columns(["gi", "gj", "n", "sq"])
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    agg = part.groupby(["gi", "gj"]).sum(["n", "sq"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n)").to_numpy().astype(np.int64)
+        sq = batch.column("sum(sq)").to_numpy().astype(np.int64)
+        return pa.table({
+            "gi": batch.column("gi"),
+            "gj": batch.column("gj"),
+            "n_points": pa.array(n, pa.int64()),
+            "mean_qty": pa.array(sq.astype(np.float64) / n.astype(np.float64)),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+RADIUS_CENTER = (10.33, 20.77)
+RADIUS_M = 2_000_000.0
+
+
+def _sphere_dist_locos(lon, lat, lon0, lat0):
+    """Law-of-cosines spherical distance with clip — op-for-op the same
+    as the SQL oracle expression."""
+    d2r = np.pi / 180.0
+    rl1 = lat0 * d2r
+    rl2 = lat * d2r
+    c = (np.sin(rl1) * np.sin(rl2)
+         + np.cos(rl1) * np.cos(rl2) * np.cos(lon * d2r - lon0 * d2r))
+    return geodesy.SPHERE_RADIUS * np.arccos(np.minimum(1.0, np.maximum(-1.0, c)))
+
+
+def q_within_radius(sf_dir: str):
+    """Points strictly within RADIUS_M of RADIUS_CENTER (border excluded,
+    karta/vector/geometry.py:1349-1377)."""
+    ds = points_ds(sf_dir)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        d = _sphere_dist_locos(lon, lat, *RADIUS_CENTER)
+        keep = np.nonzero(d < RADIUS_M)[0]
+        return batch.select(["l_orderkey", "l_linenumber"]).take(
+            pa.array(keep, pa.int64()))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+KNN_K = 25
+
+
+def q_knn(sf_dir: str):
+    """k-nearest derived points to RADIUS_CENTER: distributed top-k via
+    per-batch pruning then a global sort + limit."""
+    ds = points_ds(sf_dir)
+
+    def with_dist(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        d = _sphere_dist_locos(lon, lat, *RADIUS_CENTER)
+        out = batch.select(["l_orderkey", "l_linenumber"])
+        out = out.append_column("dist", pa.array(d, pa.float64()))
+        # per-batch prune to local top-k before the global sort
+        if len(out) > KNN_K:
+            idx = np.argsort(d, kind="stable")[:KNN_K]
+            out = out.take(pa.array(np.sort(idx), pa.int64()))
+        return out
+
+    pruned = ds.map_batches(with_dist, batch_format="pyarrow")
+    top = pruned.sort(["dist", "l_orderkey", "l_linenumber"]).limit(KNN_K)
+    return top.select_columns(["l_orderkey", "l_linenumber"])
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup of documents on text: representative = min doc_id,
+    plus the duplicate count."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    agg = ds.groupby("text").aggregate(
+        ray.data.aggregate.Min("doc_id"), ray.data.aggregate.Count())
+    agg = agg.rename_columns(["text", "doc_id", "n_copies"])
+
+    def drop_text(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "n_copies"])
+
+    return agg.map_batches(drop_text, batch_format="pyarrow")
+
+
+def q_text_stats(sf_dir: str):
+    """Per-language document stats (token = space-separated)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        total_len = pc.utf8_length(text)
+        no_space = pc.replace_substring(text, " ", "")
+        spaces = pc.subtract(total_len, pc.utf8_length(no_space))
+        t = pa.table({
+            "lang": batch.column("lang"),
+            "chars": pc.cast(batch.column("n_chars"), pa.int64()),
+            "tokens": pc.cast(pc.add(spaces, 1), pa.int64()),
+        })
+        g = t.group_by(["lang"]).aggregate(
+            [("chars", "count"), ("chars", "sum"), ("tokens", "sum")])
+        return g.rename_columns(["lang", "n_docs", "sum_chars", "sum_tokens"])
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    agg = part.groupby("lang").sum(["n_docs", "sum_chars", "sum_tokens"])
+    return agg.rename_columns(["lang", "n_docs", "sum_chars", "sum_tokens"])
+
+
+SESSION_GAP_US = 1800 * 1_000_000
+
+
+def q_sessionize(sf_dir: str):
+    """Per-user sessionization of the events stream (30-min idle gap):
+    (user_id, n_events, n_sessions). groupby().map_groups with an
+    in-group sort — the Ray-native windowed/stateful pattern."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def sessions(group: pa.Table) -> pa.Table:
+        ts = np.sort(group.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64))
+        gaps = np.diff(ts)
+        n_sessions = 1 + int((gaps > SESSION_GAP_US).sum()) if len(ts) else 0
+        return pa.table({
+            "user_id": pa.array([group.column("user_id")[0].as_py()], pa.int64()),
+            "n_events": pa.array([len(ts)], pa.int64()),
+            "n_sessions": pa.array([n_sessions], pa.int64()),
+        })
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL
+# ---------------------------------------------------------------------------
+
+def oracle_sqls() -> dict:
+    d2r = "pi()/180"
+    locos = (f"6370997.0 * acos(least(1.0, greatest(-1.0, "
+             f"sin({RADIUS_CENTER[1]!r}*{d2r})*sin(lat*{d2r}) + "
+             f"cos({RADIUS_CENTER[1]!r}*{d2r})*cos(lat*{d2r})*"
+             f"cos(lon*{d2r} - {RADIUS_CENTER[0]!r}*{d2r}))))")
+    return {
+        "tile_assign": f"""
+WITH pts AS ({PTS_SQL})
+SELECT l_orderkey, l_linenumber,
+       CAST(floor((128/pi()*2^{ZOOM}) * (lon*pi()/180 + pi()) / 256) AS BIGINT) AS tile_x,
+       CAST(floor((128/pi()*2^{ZOOM}) * (pi() - ln(tan(pi()/4 + lat*pi()/360))) / 256) AS BIGINT) AS tile_y,
+       {ZOOM << 58}
+         + CAST(floor((128/pi()*2^{ZOOM}) * (lon*pi()/180 + pi()) / 256) AS BIGINT)*536870912
+         + CAST(floor((128/pi()*2^{ZOOM}) * (pi() - ln(tan(pi()/4 + lat*pi()/360))) / 256) AS BIGINT) AS cell_id
+FROM pts
+""",
+        "pip_join": pip_pairs_sql().replace(
+            "SELECT l_orderkey, l_linenumber, poly_id, l_quantity FROM wn WHERE w <> 0",
+            "SELECT l_orderkey, l_linenumber, poly_id FROM wn WHERE w <> 0"),
+        "pip_agg": f"""
+WITH pairs AS ({pip_pairs_sql()})
+SELECT poly_id, COUNT(*) AS n_points,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM pairs GROUP BY poly_id
+""",
+        "grid_binning": f"""
+WITH pts AS ({PTS_SQL})
+SELECT CAST(floor(lon + 180.0) AS BIGINT) AS gi,
+       CAST(floor(lat + 80.0) AS BIGINT) AS gj,
+       COUNT(*) AS n_points,
+       CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_qty
+FROM pts GROUP BY 1, 2
+""",
+        "within_radius": f"""
+WITH pts AS ({PTS_SQL})
+SELECT l_orderkey, l_linenumber FROM pts WHERE {locos} < {RADIUS_M!r}
+""",
+        "knn": f"""
+WITH pts AS ({PTS_SQL})
+SELECT l_orderkey, l_linenumber FROM pts
+ORDER BY {locos}, l_orderkey, l_linenumber LIMIT {KNN_K}
+""",
+        "dedup_exact": """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+""",
+        "text_stats": """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
+       CAST(SUM(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)) AS BIGINT) AS sum_tokens
+FROM documents GROUP BY lang
+""",
+        "sessionize": f"""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(1 + SUM(new_sess) AS BIGINT) AS n_sessions
+FROM o GROUP BY user_id
+""",
+    }

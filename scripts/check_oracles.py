@@ -1,0 +1,102 @@
+"""Mimic the driver's correctness gate: run every queries() pipeline via
+Ray AND its oracle_sql() via DuckDB on the same sf dir; compare row
+count, schema (column names), and order-insensitive values.
+
+Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def to_pandas(res):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        got = normalize(to_pandas(fn(sf_dir)))
+        if name not in oracles:
+            print(f"[{name}] rows={len(got)} (no oracle — rows-only check)")
+            continue
+        want = normalize(con.execute(oracles[name]).df())
+        status = "OK"
+        detail = ""
+        if list(got.columns) != list(want.columns):
+            status = "SCHEMA-MISMATCH"
+            detail = f" ray={list(got.columns)} sql={list(want.columns)}"
+        elif len(got) != len(want):
+            status = "ROWCOUNT-MISMATCH"
+            detail = f" ray={len(got)} sql={len(want)}"
+        else:
+            for c in got.columns:
+                a, b = got[c].to_numpy(), want[c].to_numpy()
+                if a.dtype.kind == "f":
+                    eq = np.array_equal(a, b, equal_nan=True)
+                else:
+                    eq = (a == b).all()
+                if not eq:
+                    status = "VALUE-MISMATCH"
+                    bad = np.nonzero(a != b)[0][:5] if a.dtype.kind != "f" else \
+                        np.nonzero(~np.isclose(a, b, equal_nan=True))[0][:5]
+                    detail = f" col={c} rows={bad.tolist()}"
+                    break
+        print(f"[{name}] {status} rows={len(got)}{detail}")
+        if status != "OK":
+            failures.append(name)
+
+    ray.shutdown()
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print("all oracle checks passed")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""End-to-end Ray Data pipeline tests (session-scoped Ray fixture)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from karta_ray import synth
+from karta_ray.pipelines.flagship import flagship_aggregate, flagship_pipeline
+from karta_ray.stages.extract import extract_geotag_stage
+from karta_ray.stages.tiles import assign_cells
+
+
+def brute_force_join(n_pages, polyset):
+    """Driver-side oracle: exact contains over every (point, polygon)."""
+    t = synth.pages_table(n_pages)
+    lon, lat = synth.page_coords(np.arange(n_pages))
+    urls = t.column("url").to_pylist()
+    ok = ~np.isnan(lon)
+    pairs = set()
+    for ip in range(len(polyset)):
+        m = np.zeros(n_pages, dtype=bool)
+        m[ok] = polyset.contains(lon[ok], lat[ok], ip)
+        for i in np.nonzero(m)[0]:
+            pairs.add((urls[i], int(polyset.poly_id[ip])))
+    return pairs
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFlagship:
+    def test_join_matches_brute_force(self):
+        n = 3000
+        ps = synth.admin_polygons()
+        ds = synth.pages_dataset(n, override_num_blocks=8)
+        out = flagship_pipeline(ds, zoom=7, polyset=ps, concurrency=2)
+        tbl = out.to_arrow_refs()
+        import ray
+        parts = [ray.get(r) for r in tbl]
+        got = set()
+        for p in parts:
+            for u, pid in zip(p.column("url").to_pylist(),
+                              p.column("poly_id").to_pylist()):
+                got.add((u, pid))
+        want = brute_force_join(n, ps)
+        assert got == want
+        assert len(want) > 100  # non-trivial join
+
+    def test_join_deterministic_across_parallelism(self):
+        n = 1200
+        ps = synth.admin_polygons()
+        results = []
+        for blocks in (2, 7):
+            ds = synth.pages_dataset(n, override_num_blocks=blocks)
+            out = flagship_pipeline(ds, zoom=7, polyset=ps, concurrency=2)
+            df = out.to_pandas().sort_values(["url", "poly_id"]).reset_index(drop=True)
+            results.append(df[["url", "poly_id"]])
+        assert results[0].equals(results[1])
+
+    def test_aggregate(self):
+        n = 2000
+        ps = synth.admin_polygons()
+        ds = synth.pages_dataset(n, override_num_blocks=4)
+        joined = flagship_pipeline(ds, zoom=7, polyset=ps, concurrency=2)
+        agg = flagship_aggregate(joined).to_pandas()
+        assert (agg["sum(n)"] > 0).all()
+        # total joined rows preserved by the partial+final aggregate
+        total = agg["sum(n)"].sum()
+        assert total == joined.count()
+
+    def test_extract_stage_drops_html(self):
+        import ray
+
+        ds = synth.pages_dataset(200, override_num_blocks=2)
+        out = ds.map_batches(extract_geotag_stage, batch_format="pyarrow")
+        schema = out.schema()
+        assert "html" not in schema.names
+        assert {"url", "lon", "lat"} <= set(schema.names)
+
+    def test_cell_assignment_matches_kernel(self):
+        from karta_ray.kernels import tiles as T
+
+        ds = synth.pages_dataset(500, override_num_blocks=2)
+        out = (ds.map_batches(extract_geotag_stage, batch_format="pyarrow")
+                 .map_batches(assign_cells, batch_format="pyarrow",
+                              fn_kwargs={"zoom": 9}))
+        df = out.to_pandas()
+        ok = df["tile_z"] >= 0
+        x, y = T.tile_xy(df["lon"].to_numpy()[ok], df["lat"].to_numpy()[ok], 9)
+        np.testing.assert_array_equal(df["tile_x"].to_numpy()[ok], x)
+        np.testing.assert_array_equal(df["tile_y"].to_numpy()[ok], y)

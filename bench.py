@@ -1,0 +1,175 @@
+"""Benchmark harness.
+
+Default: ray.init(num_cpus=$RAY_GRAFT_CPUS or 32), run the headline
+spatial-join + tile-assignment pipeline over a pre-materialized synthetic
+pages table plus every queries() pipeline over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1), print ONE JSON line.
+
+--scaling: run the headline pipeline in two fresh processes
+(num_cpus=8 and num_cpus=32) on the same input and report docs/sec at
+both plus scaling efficiency (the sandbox stand-in for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "1000000"))
+N_SCALING = int(os.environ.get("GRAFT_SCALING_PAGES", "4000000"))
+PAGES_DIR = f"/tmp/karta_ray_bench/pages_{N_PAGES}"
+
+
+def ensure_pages(n: int = N_PAGES) -> str:
+    """Materialize the deterministic pages table to parquet once
+    (generation is input preparation, not the measured pipeline)."""
+    import ray
+
+    marker = os.path.join(PAGES_DIR, "_DONE")
+    if os.path.exists(marker):
+        return PAGES_DIR
+    from karta_ray import synth
+
+    os.makedirs(PAGES_DIR, exist_ok=True)
+    # enough files that read->map fusion can still fan out to every core
+    ds = synth.pages_dataset(n, override_num_blocks=max(128, n // 8192))
+    ds.write_parquet(PAGES_DIR)
+    with open(marker, "w") as f:
+        f.write(str(n))
+    return PAGES_DIR
+
+
+def warmup():
+    """Spread import-heavy no-op tasks across the worker pool so the
+    timed run measures steady-state throughput, not Python import and
+    worker cold-start cost (a real cluster's workers are warm)."""
+    import ray
+
+    def touch(batch):
+        import numpy as np  # noqa: F401
+
+        from karta_ray.kernels import predicates, tiles  # noqa: F401
+        from karta_ray.stages import extract, join  # noqa: F401
+        return batch
+
+    (ray.data.range(NUM_CPUS * 16, override_num_blocks=NUM_CPUS * 16)
+        .map_batches(touch, batch_size=1).materialize())
+
+
+def run_headline(pages_dir: str) -> dict:
+    """Headline: read -> extract -> geotag -> tile -> PIP join -> per-
+    (poly, cell) aggregate, fully consumed."""
+    import ray
+
+    from karta_ray import synth
+    from karta_ray.pipelines.flagship import (flagship_aggregate,
+                                              flagship_pipeline)
+
+    n_docs = int(open(os.path.join(pages_dir, "_DONE")).read())
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
+    joined = flagship_pipeline(ds, zoom=7, polyset=synth.admin_polygons(),
+                               concurrency=(2, NUM_CPUS))
+    agg = flagship_aggregate(joined)
+    rows = 0
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        rows += len(b)
+    dt = time.perf_counter() - t0
+    return {"sec": dt, "docs": n_docs, "docs_per_sec": n_docs / dt,
+            "agg_rows": rows}
+
+
+def run_queries(sf_dir: str) -> dict:
+    import ray
+    import __ray_entry__ as entrymod
+
+    out = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        if isinstance(res, ray.data.Dataset):
+            n = res.count()
+        else:
+            n = len(res)
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def child_main(num_cpus: int):
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    pages_dir = ensure_pages(N_SCALING)
+    warmup()
+    res = run_headline(pages_dir)
+    ray.shutdown()
+    print(json.dumps({"num_cpus": num_cpus, **res}))
+
+
+def scaling_main():
+    # generation pass first so both timed runs read identical parquet
+    import ray
+
+    global PAGES_DIR
+    PAGES_DIR = f"/tmp/karta_ray_bench/pages_{N_SCALING}"
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    ensure_pages(N_SCALING)
+    ray.shutdown()
+
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, GRAFT_BENCH_PAGES=str(N_SCALING))
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(cpus)],
+            capture_output=True, text=True, check=True, env=env)
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    speedup = results[8]["sec"] / results[32]["sec"]
+    eff = speedup / (32 / 8)
+    print(json.dumps({
+        "metric": "spatial-join+tile throughput scaling (8 vs 32 cpus)",
+        "value": round(eff, 4),
+        "unit": "efficiency",
+        "sf": N_SCALING,
+        "docs_per_sec_8": round(results[8]["docs_per_sec"], 1),
+        "docs_per_sec_32": round(results[32]["docs_per_sec"], 1),
+        "sec_8": round(results[8]["sec"], 2),
+        "sec_32": round(results[32]["sec"], 2),
+        "speedup": round(speedup, 3),
+        "efficiency": round(eff, 4),
+    }))
+
+
+def main():
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    pages_dir = ensure_pages()
+    warmup()
+    headline = run_headline(pages_dir)
+    queries = run_queries(SF_DIR)
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "spatial-join + tile-assignment throughput (docs/sec)",
+        "value": round(headline["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": headline["docs"],
+        "docs_per_sec": round(headline["docs_per_sec"], 1),
+    }))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child_main(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        scaling_main()
+    else:
+        main()

@@ -62,9 +62,10 @@ def _partial_counts(batch: pa.Table) -> pa.Table:
 
 def flagship_aggregate(joined_ds):
     """(poly_id, cell_id) page counts: partial counts inside map_batches,
-    then a small global groupby-sum (salted skew is absorbed by the
-    pre-aggregation: a hot cell contributes one partial row per block,
-    not per page)."""
+    then a tree combine (salted skew is absorbed by the pre-aggregation:
+    a hot cell contributes one partial row per block, not per page)."""
+    from ..stages.agg import tree_sum
+
     part = joined_ds.map_batches(_partial_counts, batch_format="pyarrow",
                                  zero_copy_batch=True)
-    return part.groupby(["poly_id", "cell_id"]).sum("n")
+    return tree_sum(part, ["poly_id", "cell_id"], ["n"])

@@ -218,9 +218,10 @@ def q_pip_agg(sf_dir: str):
               .aggregate([("qty", "count"), ("qty", "sum")]))
         return g.rename_columns(["poly_id", "n_points", "sum_qty"])
 
+    from ..stages.agg import tree_sum
+
     part = joined.map_batches(partial, batch_format="pyarrow")
-    agg = part.groupby("poly_id").sum(["n_points", "sum_qty"])
-    return agg.rename_columns(["poly_id", "n_points", "sum_qty"])
+    return tree_sum(part, ["poly_id"], ["n_points", "sum_qty"])
 
 
 def q_grid_binning(sf_dir: str):
@@ -239,12 +240,14 @@ def q_grid_binning(sf_dir: str):
         g = t.group_by(["gi", "gj"]).aggregate([("qty", "count"), ("qty", "sum")])
         return g.rename_columns(["gi", "gj", "n", "sq"])
 
+    from ..stages.agg import tree_sum
+
     part = ds.map_batches(partial, batch_format="pyarrow")
-    agg = part.groupby(["gi", "gj"]).sum(["n", "sq"])
+    agg = tree_sum(part, ["gi", "gj"], ["n", "sq"])
 
     def finalize(batch: pa.Table) -> pa.Table:
-        n = batch.column("sum(n)").to_numpy().astype(np.int64)
-        sq = batch.column("sum(sq)").to_numpy().astype(np.int64)
+        n = batch.column("n").to_numpy().astype(np.int64)
+        sq = batch.column("sq").to_numpy().astype(np.int64)
         return pa.table({
             "gi": batch.column("gi"),
             "gj": batch.column("gj"),
@@ -349,9 +352,10 @@ def q_text_stats(sf_dir: str):
             [("chars", "count"), ("chars", "sum"), ("tokens", "sum")])
         return g.rename_columns(["lang", "n_docs", "sum_chars", "sum_tokens"])
 
+    from ..stages.agg import tree_sum
+
     part = ds.map_batches(partial, batch_format="pyarrow")
-    agg = part.groupby("lang").sum(["n_docs", "sum_chars", "sum_tokens"])
-    return agg.rename_columns(["lang", "n_docs", "sum_chars", "sum_tokens"])
+    return tree_sum(part, ["lang"], ["n_docs", "sum_chars", "sum_tokens"])
 
 
 SESSION_GAP_US = 1800 * 1_000_000

@@ -1,0 +1,42 @@
+"""Partial + tree-combine aggregation for bounded-cardinality groupbys.
+
+Ray Data's ``groupby().sum()`` runs a sort-based all-to-all shuffle whose
+fixed overhead (~5 s on this host) dominates when the post-partial data
+is small. For aggregates whose group count is bounded (per-(polygon,
+cell) counts, grid bins, per-language stats), a partial aggregate inside
+``map_batches`` followed by a repartition tree-combine is both faster at
+bench scale and scalable: each level shrinks the data by ~(blocks /
+fanout) x, and every step is a plain map over Arrow blocks.
+
+For unbounded keys (exact dedup on url/text at 10^12 rows) keep
+``ds.groupby`` — the real hash/sort shuffle is the right primitive there.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def _make_combine(keys: list, sum_cols: list):
+    def combine(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        g = batch.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
+        # pyarrow names aggregated columns "<col>_sum"; restore the input
+        # names so the combine is idempotent (sum-of-sums)
+        rename = {f"{c}_sum": c for c in sum_cols}
+        return g.rename_columns([rename.get(n, n) for n in g.column_names]) \
+                .select(keys + sum_cols)
+    return combine
+
+
+def tree_sum(ds, keys: list, sum_cols: list, *, fanout: int = 32):
+    """Combine a Dataset of partial rows (keys + summable int/float cols)
+    into one row per key group: per-block combine -> coalesce to
+    ``fanout`` blocks -> combine -> single block -> final combine."""
+    combine = _make_combine(keys, sum_cols)
+    ds = ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.repartition(fanout)
+    ds = ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.repartition(1)
+    return ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)

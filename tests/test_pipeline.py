@@ -61,9 +61,9 @@ class TestFlagship:
         ds = synth.pages_dataset(n, override_num_blocks=4)
         joined = flagship_pipeline(ds, zoom=7, polyset=ps, concurrency=2)
         agg = flagship_aggregate(joined).to_pandas()
-        assert (agg["sum(n)"] > 0).all()
+        assert (agg["n"] > 0).all()
         # total joined rows preserved by the partial+final aggregate
-        total = agg["sum(n)"].sum()
+        total = agg["n"].sum()
         assert total == joined.count()
 
     def test_extract_stage_drops_html(self):

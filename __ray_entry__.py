@@ -35,9 +35,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_binning": Q.q_grid_binning,
         "within_radius": Q.q_within_radius,
         "knn": Q.q_knn,
+        "knn_join": Q.q_knn_join,
         "dedup_exact": Q.q_dedup_exact,
         "text_stats": Q.q_text_stats,
         "sessionize": Q.q_sessionize,
+        "ngram_jaccard": Q.q_ngram_jaccard,
+        "minhash_lsh": Q.q_minhash_lsh,
+        "simhash": Q.q_simhash,
+        "ann_topk": Q.q_ann_topk,
+        "ann_ivf": Q.q_ann_ivf,
+        "embed_neardup": Q.q_embed_neardup,
+        "doc_quality": Q.q_doc_quality,
+        "doc_fingerprint": Q.q_doc_fingerprint,
+        "lang_id": Q.q_lang_id,
     }
 
 

@@ -1,0 +1,143 @@
+"""Polygon measures (area, perimeter, centroid) and affine transforms.
+
+Reference semantics:
+- planar area: x0-anchored shoelace incl. closure, holes subtract
+  (karta/vector/geometry.py:1109-1143)
+- spherical / ellipsoidal area: per-closed-segment geodesic
+  quadrilaterals (geometry.py:1118-1136; karta/geodesy.py:115-126,
+  637-729)
+- perimeter: closed-ring length + hole perimeters
+  (geometry.py:1092-1107)
+- centroid: shoelace centroid over the closed ring
+  (geometry.py:1145-1154)
+- rotate: CCW degrees about a pivot (geometry.py:47-64; goldens
+  tests/geometry_tests.py:468-478)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import geodesy, karney
+
+
+def ring_area_planar(ring):
+    ring = np.asarray(ring, dtype=np.float64)
+    x = ring[:, 0]
+    y = ring[:, 1]
+    x0 = x.min()
+    # closing term first, then the open-chain sum (geometry.py:1138-1142)
+    area = (0.5 * (x[0] + x[-1]) - x0) * (y[0] - y[-1])
+    area += np.sum((0.5 * (x[1:] + x[:-1]) - x0) * (y[1:] - y[:-1]))
+    return abs(float(area))
+
+
+def ring_area_geographical(ring, a, b):
+    """Spherical when a == b, else ellipsoidal; |sum over closed
+    segments|."""
+    ring = np.asarray(ring, dtype=np.float64)
+    closed = np.vstack([ring, ring[:1]])
+    area = 0.0
+    for i in range(len(ring)):
+        x1, y1 = closed[i, :2]
+        x2, y2 = closed[i + 1, :2]
+        if a == b:
+            area += geodesy.spherical_area(a, x1, y1, x2, y2)
+        else:
+            area += karney.ellipsoidal_area(a, b, x1, y1, x2, y2)
+    return abs(float(area))
+
+
+def polygon_area(rings, crs_tag="cartesian",
+                 a=karney.WGS84_A, b=karney.WGS84_B):
+    """Area of outer ring minus hole areas (geometry.py:1109-1143)."""
+    if crs_tag == "cartesian":
+        area = ring_area_planar(rings[0])
+        return area - sum(ring_area_planar(h) for h in rings[1:])
+    if crs_tag == "spherical":
+        a = b = geodesy.SPHERE_RADIUS
+    area = ring_area_geographical(rings[0], a, b)
+    return area - sum(ring_area_geographical(h, a, b) for h in rings[1:])
+
+
+def ring_perimeter_planar(ring):
+    ring = np.asarray(ring, dtype=np.float64)
+    closed = np.vstack([ring, ring[:1]])
+    return float(np.hypot(np.diff(closed[:, 0]), np.diff(closed[:, 1])).sum())
+
+
+def polygon_perimeter(rings, crs_tag="cartesian"):
+    """Ring + holes perimeter (geometry.py:1092-1107)."""
+    from .. import crs as crsmod
+    from .lines import line_length
+
+    crs = crsmod.get_crs({"cartesian": "cartesian", "spherical": "spherical",
+                          "lonlat_wgs84": "lonlat_wgs84"}[crs_tag])
+    return sum(line_length(r, crs, ring=True) for r in rings)
+
+
+def ring_centroid(ring):
+    """Shoelace centroid (geometry.py:1145-1154)."""
+    ring = np.asarray(ring, dtype=np.float64)
+    x = ring[:, 0]
+    y = ring[:, 1]
+    xn = np.roll(x, -1)
+    yn = np.roll(y, -1)
+    cross = x * yn - xn * y
+    A = 0.5 * cross.sum()
+    cx = np.sum((x + xn) * cross) / (6.0 * A)
+    cy = np.sum((y + yn) * cross) / (6.0 * A)
+    return float(cx), float(cy)
+
+
+# ---------------------------------------------------------------------------
+# Affine transforms (vectorized over vertex arrays)
+# ---------------------------------------------------------------------------
+
+def shift(verts, dx, dy):
+    verts = np.asarray(verts, dtype=np.float64).copy()
+    verts[:, 0] += dx
+    verts[:, 1] += dy
+    return verts
+
+
+def rotate(verts, theta_deg, origin=(0.0, 0.0)):
+    """CCW rotation in degrees about *origin* (geometry.py:47-64)."""
+    verts = np.asarray(verts, dtype=np.float64)
+    t = np.radians(theta_deg)
+    c, s = np.cos(t), np.sin(t)
+    dx = verts[:, 0] - origin[0]
+    dy = verts[:, 1] - origin[1]
+    out = verts.copy()
+    out[:, 0] = dx * c - dy * s + origin[0]
+    out[:, 1] = dx * s + dy * c + origin[1]
+    return out
+
+
+def apply_affine(verts, M):
+    """Apply a 2x3 affine matrix [[a, b, tx], [c, d, ty]]
+    (geometry.py:483-553)."""
+    verts = np.asarray(verts, dtype=np.float64)
+    M = np.asarray(M, dtype=np.float64)
+    out = verts.copy()
+    out[:, 0] = M[0, 0] * verts[:, 0] + M[0, 1] * verts[:, 1] + M[0, 2]
+    out[:, 1] = M[1, 0] * verts[:, 0] + M[1, 1] * verts[:, 1] + M[1, 2]
+    return out
+
+
+def best_fit_affine(src, dst):
+    """Least-squares 2x3 affine mapping src -> dst
+    (karta ``affine_matrix``, geometry.py:1833-1852)."""
+    src = np.asarray(src, dtype=np.float64)
+    dst = np.asarray(dst, dtype=np.float64)
+    n = len(src)
+    A = np.zeros((2 * n, 6))
+    A[0::2, 0] = src[:, 0]
+    A[0::2, 1] = src[:, 1]
+    A[0::2, 2] = 1.0
+    A[1::2, 3] = src[:, 0]
+    A[1::2, 4] = src[:, 1]
+    A[1::2, 5] = 1.0
+    bvec = dst.reshape(-1)
+    sol, *_ = np.linalg.lstsq(A, bvec, rcond=None)
+    return sol.reshape(2, 3)

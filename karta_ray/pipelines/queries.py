@@ -314,6 +314,49 @@ def q_knn(sf_dir: str):
     return top.select_columns(["l_orderkey", "l_linenumber"])
 
 
+KNN_JOIN_K = 3
+SUPP_MULTS = (3266489917, 2654435761)
+CUST_MULTS = (2246822519, 3266489917)
+
+
+def _derive(key, mults):
+    key = np.asarray(key, dtype=np.int64)
+    lon = ((key * mults[0]) % 360000000) / 1000000.0 - 180.0
+    lat = ((key * mults[1]) % 160000000) / 1000000.0 - 80.0
+    return lon, lat
+
+
+def q_knn_join(sf_dir: str):
+    """kNN join: for each supplier-derived point, the KNN_JOIN_K nearest
+    customer-derived points — per-cell probes with exact ring expansion
+    (boundary-cell replication), the scalable kNN primitive."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..stages.knn import RightIndex, knn_join
+    from ..stages.tiles import assign_cells
+
+    # broadcast (small) side: customers
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    ckey = cust.column("c_custkey").to_numpy().astype(np.int64)
+    clon, clat = _derive(ckey, CUST_MULTS)
+    index = RightIndex(ckey, clon, clat, zoom=6)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                               columns=["s_suppkey"])
+
+    def coords(batch: pa.Table) -> pa.Table:
+        lon, lat = _derive(batch.column("s_suppkey").to_numpy(), SUPP_MULTS)
+        batch = batch.append_column("lon", pa.array(lon))
+        return batch.append_column("lat", pa.array(lat))
+
+    ds = ds.map_batches(coords, batch_format="pyarrow")
+    ds = ds.map_batches(assign_cells, batch_format="pyarrow",
+                        fn_kwargs={"zoom": 6, "with_xyz": False})
+    out = knn_join(ds, index, k=KNN_JOIN_K)
+    return out.select_columns(["s_suppkey", "neighbor_id", "rank"])
+
+
 def q_dedup_exact(sf_dir: str):
     """Exact dedup of documents on text: representative = min doc_id,
     plus the duplicate count."""
@@ -356,6 +399,165 @@ def q_text_stats(sf_dir: str):
 
     part = ds.map_batches(partial, batch_format="pyarrow")
     return tree_sum(part, ["lang"], ["n_docs", "sum_chars", "sum_tokens"])
+
+
+NGRAM_TAU = 0.7
+ANN_K = 10
+ANN_NQUERIES = 5
+NEARDUP_TAU = 0.42
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Exact character-3-gram Jaccard near-dup pairs >= NGRAM_TAU over
+    documents (shingle-bucket shuffle + pair counting)."""
+    import ray.data
+
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold=NGRAM_TAU)
+
+
+def q_minhash_lsh(sf_dir: str):
+    """MinHash+LSH near-dup candidates (the approximate web-scale path);
+    rows-only driver check, recall asserted in tests."""
+    import ray.data
+
+    from ..stages.dedup import minhash_lsh_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def q_simhash(sf_dir: str):
+    """SimHash near-dup pairs (Hamming <= 3); rows-only driver check."""
+    import ray.data
+
+    from ..stages.dedup import simhash_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3)
+
+
+def _load_queries_driver_side(sf_dir: str, n: int):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    vid = t.column("vec_id").to_numpy()
+    mask = vid < n
+    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)[mask]
+    return vid[mask], mat
+
+
+def q_ann_topk(sf_dir: str):
+    """Exact brute-force cosine top-k for ANN_NQUERIES query vectors."""
+    import ray.data
+
+    from ..stages.ann import ann_topk
+
+    qids, qmat = _load_queries_driver_side(sf_dir, ANN_NQUERIES)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out = ann_topk(ds, qids, qmat, k=ANN_K)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF-bucketed approximate top-k (probes 3 nearest clusters);
+    rows-only driver check, recall asserted in tests."""
+    import ray.data
+
+    from ..stages.ann import ann_ivf_topk
+
+    qids, qmat = _load_queries_driver_side(sf_dir, ANN_NQUERIES)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding", "label"])
+    out = ann_ivf_topk(ds, qids, qmat, k=ANN_K, nprobe=3)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def q_embed_neardup(sf_dir: str):
+    """Exact all-pairs embedding cosine >= NEARDUP_TAU."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..stages.ann import cosine_neardup_pairs
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return cosine_neardup_pairs(ds, ids, mat, NEARDUP_TAU)
+
+
+def q_doc_quality(sf_dir: str):
+    """Integer quality metrics per document (SQL-mirrorable)."""
+    import ray.data
+
+    from ..functions.text import quality_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        stats = [quality_counts(t) for t in batch.column("text").to_pylist()]
+        arr = np.asarray(stats, dtype=np.int64).reshape(-1, 5)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars_m": pa.array(arr[:, 0]),
+            "n_spaces": pa.array(arr[:, 1]),
+            "n_periods": pa.array(arr[:, 2]),
+            "n_commas": pa.array(arr[:, 3]),
+            "n_digits": pa.array(arr[:, 4]),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """Deterministic document fingerprint (md5 of text)."""
+    import ray.data
+
+    from ..functions.text import md5_hex
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "fp": pa.array([md5_hex(t) for t in
+                            batch.column("text").to_pylist()], pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_lang_id(sf_dir: str):
+    """Marker-based language ID prediction; rows-only driver check
+    (accuracy asserted in tests against the lang column)."""
+    import ray.data
+
+    from ..functions.text import lang_id
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "pred_lang": pa.array([lang_id(t) for t in
+                                   batch.column("text").to_pylist()],
+                                  pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 SESSION_GAP_US = 1800 * 1_000_000
@@ -431,6 +633,32 @@ WITH pts AS ({PTS_SQL})
 SELECT l_orderkey, l_linenumber FROM pts
 ORDER BY {locos}, l_orderkey, l_linenumber LIMIT {KNN_K}
 """,
+        "knn_join": f"""
+WITH s AS (
+  SELECT s_suppkey,
+         (s_suppkey * {SUPP_MULTS[0]} % 360000000) / 1000000.0 - 180.0 AS slon,
+         (s_suppkey * {SUPP_MULTS[1]} % 160000000) / 1000000.0 - 80.0 AS slat
+  FROM supplier),
+c AS (
+  SELECT c_custkey,
+         (c_custkey * {CUST_MULTS[0]} % 360000000) / 1000000.0 - 180.0 AS clon,
+         (c_custkey * {CUST_MULTS[1]} % 160000000) / 1000000.0 - 80.0 AS clat
+  FROM customer),
+d AS (
+  SELECT s.s_suppkey, c.c_custkey,
+         6370997.0 * acos(least(1.0, greatest(-1.0,
+             sin(slat*pi()/180)*sin(clat*pi()/180) +
+             cos(slat*pi()/180)*cos(clat*pi()/180)*
+             cos(clon*pi()/180 - slon*pi()/180)))) AS dist
+  FROM s CROSS JOIN c),
+r AS (
+  SELECT s_suppkey, c_custkey,
+         row_number() OVER (PARTITION BY s_suppkey
+                            ORDER BY dist, c_custkey) AS rank
+  FROM d)
+SELECT s_suppkey, c_custkey AS neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {KNN_JOIN_K}
+""",
         "dedup_exact": """
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
 FROM documents GROUP BY text
@@ -440,6 +668,53 @@ SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
        CAST(SUM(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)) AS BIGINT) AS sum_tokens
 FROM documents GROUP BY lang
+""",
+        "ngram_jaccard": f"""
+WITH g AS (
+  SELECT DISTINCT doc_id, sh
+  FROM (SELECT doc_id,
+               unnest([substr(text, g, 3) FOR g IN range(1, length(text)-1)]) AS sh
+        FROM documents)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+FROM shared JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_shared AS DOUBLE)/(CAST(sa.n AS DOUBLE) + CAST(sb.n AS DOUBLE)
+      - CAST(n_shared AS DOUBLE)) >= {NGRAM_TAU!r}
+""",
+        "ann_topk": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {ANN_NQUERIES}),
+d AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(q.qe, e.embedding) AS sim
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+r AS (SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS rank
+      FROM d)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {ANN_K}
+""",
+        "embed_neardup": f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {NEARDUP_TAU!r}
+""",
+        "doc_quality": """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_m,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+       CAST(length(text) - length(replace(text, '.', '')) AS BIGINT) AS n_periods,
+       CAST(length(text) - length(replace(text, ',', '')) AS BIGINT) AS n_commas,
+       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits
+FROM documents
+""",
+        "doc_fingerprint": """
+SELECT doc_id, md5(text) AS fp FROM documents
 """,
         "sessionize": f"""
 WITH o AS (

@@ -1,0 +1,200 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``ann_topk``: exact brute-force cosine top-k — per-batch numpy matmul
+  against a broadcast query matrix, per-batch pruning, tree-combined
+  global top-k. The baseline the approximate variants are judged
+  against.
+- ``ann_ivf_topk``: IVF-style variant — probe only the ``nprobe``
+  clusters whose centroids are nearest each query (approximate; the
+  100-TB path where scanning every vector is off the table).
+- ``cosine_neardup_pairs``: all pairs with cosine >= threshold, exact,
+  via blocked matmul of each batch against the broadcast full matrix.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _to_matrix(col) -> np.ndarray:
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    return np.asarray(arr.to_pylist(), dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n == 0, 1.0, n)
+
+
+class _TopkScorer:
+    """map_batches stage: per-batch cosine scores vs all queries, pruned
+    to local top-k rows per query."""
+
+    def __init__(self, queries_ref, k: int, exclude_self: bool):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids = q["qids"]
+        self.qmat = q["qmat"]  # normalized (nq, d)
+        self.k = k
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").to_numpy()
+        emb = _normalize(_to_matrix(batch.column("embedding")))
+        sims = self.qmat @ emb.T  # (nq, nb)
+        out_q = []
+        out_v = []
+        out_s = []
+        for qi in range(len(self.qids)):
+            s = sims[qi]
+            mask = np.ones(len(vid), dtype=bool)
+            if self.exclude_self:
+                mask &= vid != self.qids[qi]
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            top = idx[np.argsort(-s[idx], kind="stable")[:self.k]]
+            out_q.append(np.full(len(top), self.qids[qi], dtype=np.int64))
+            out_v.append(vid[top].astype(np.int64))
+            out_s.append(s[top])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "sim": pa.array(np.concatenate(out_s)),
+        })
+
+
+def _final_topk(k: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        q = batch.column("query_id").to_numpy()
+        v = batch.column("vec_id").to_numpy()
+        s = batch.column("sim").to_numpy()
+        out_idx = []
+        out_rank = []
+        for qi in np.unique(q):
+            rows = np.nonzero(q == qi)[0]
+            # deterministic: sim desc, then vec_id asc
+            order = rows[np.lexsort((v[rows], -s[rows]))][:k]
+            out_idx.append(order)
+            out_rank.append(np.arange(1, len(order) + 1, dtype=np.int64))
+        idx = np.concatenate(out_idx)
+        out = batch.take(pa.array(idx, pa.int64()))
+        return out.append_column("rank", pa.array(np.concatenate(out_rank)))
+    return fn
+
+
+def ann_topk(emb_ds, query_ids, query_mat, k: int = 10, *,
+             exclude_self: bool = True):
+    """Exact cosine top-k of every query vs the embedding Dataset.
+
+    Returns (query_id, vec_id, sim, rank). Scale: batches stream through
+    the scorer; only nq*k rows per batch survive to the final combine.
+    """
+    q = {"qids": np.asarray(query_ids, dtype=np.int64),
+         "qmat": _normalize(np.asarray(query_mat, dtype=np.float64))}
+    ref = ray.put(q)
+    part = emb_ds.map_batches(
+        _TopkScorer,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k,
+                               "exclude_self": exclude_self},
+        batch_format="pyarrow", concurrency=(1, 8), zero_copy_batch=True)
+    return part.repartition(1).map_batches(_final_topk(k),
+                                           batch_format="pyarrow")
+
+
+def ann_ivf_topk(emb_ds, query_ids, query_mat, k: int = 10, *,
+                 label_col: str = "label", nprobe: int = 3,
+                 exclude_self: bool = True):
+    """IVF variant: compute per-cluster centroids (one small pass), then
+    score each query only against its ``nprobe`` nearest clusters."""
+    def partial_centroids(batch: pa.Table) -> pa.Table:
+        lab = batch.column(label_col).to_numpy()
+        emb = _to_matrix(batch.column("embedding"))
+        out = []
+        for l in np.unique(lab):
+            m = lab == l
+            out.append((int(l), emb[m].sum(axis=0), int(m.sum())))
+        return pa.table({
+            "label": pa.array([o[0] for o in out], pa.int64()),
+            "vsum": pa.array([o[1].tolist() for o in out]),
+            "n": pa.array([o[2] for o in out], pa.int64()),
+        })
+
+    parts = emb_ds.map_batches(partial_centroids,
+                               batch_format="pyarrow").take_all()
+    sums: dict = {}
+    counts: dict = {}
+    for row in parts:
+        l = row["label"]
+        sums[l] = sums.get(l, 0) + np.asarray(row["vsum"])
+        counts[l] = counts.get(l, 0) + row["n"]
+    labels = sorted(sums)
+    cent = _normalize(np.stack([sums[l] / counts[l] for l in labels]))
+
+    qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
+    probe = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
+    probe_labels = [{labels[j] for j in row} for row in probe]
+
+    q = {"qids": np.asarray(query_ids, dtype=np.int64), "qmat": qmat}
+    ref = ray.put({"q": q, "probe": probe_labels})
+
+    class Scorer(_TopkScorer):
+        def __init__(self, ref, k, exclude_self):
+            data = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            super().__init__(data["q"], k, exclude_self)
+            self.probe = data["probe"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lab = batch.column(label_col).to_numpy()
+            outs = []
+            for qi in range(len(self.qids)):
+                mask = np.isin(lab, list(self.probe[qi]))
+                if not mask.any():
+                    continue
+                sub = batch.filter(pa.array(mask))
+                single = _TopkScorer({"qids": self.qids[qi:qi + 1],
+                                      "qmat": self.qmat[qi:qi + 1]},
+                                     self.k, self.exclude_self)
+                outs.append(single(sub))
+            if not outs:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64())})
+            return pa.concat_tables(outs)
+
+    part = emb_ds.map_batches(
+        Scorer, fn_constructor_kwargs={"ref": ref, "k": k,
+                                       "exclude_self": exclude_self},
+        batch_format="pyarrow", concurrency=(1, 8), zero_copy_batch=True)
+    return part.repartition(1).map_batches(_final_topk(k),
+                                           batch_format="pyarrow")
+
+
+def cosine_neardup_pairs(emb_ds, full_ids, full_mat, threshold: float):
+    """Exact all-pairs cosine >= threshold: each batch multiplies against
+    the broadcast full (normalized) matrix; emit (a < b) pairs."""
+    ref = ray.put({"ids": np.asarray(full_ids, dtype=np.int64),
+                   "mat": _normalize(np.asarray(full_mat, dtype=np.float64))})
+
+    def score(batch: pa.Table, *, ref=ref, threshold=threshold) -> pa.Table:
+        data = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        vid = batch.column("vec_id").to_numpy().astype(np.int64)
+        emb = _normalize(_to_matrix(batch.column("embedding")))
+        sims = emb @ data["mat"].T  # (nb, N)
+        bi, fj = np.nonzero(sims >= threshold)
+        a = vid[bi]
+        b = data["ids"][fj]
+        keep = a < b
+        return pa.table({
+            "vec_a": pa.array(a[keep], pa.int64()),
+            "vec_b": pa.array(b[keep], pa.int64()),
+        })
+
+    return emb_ds.map_batches(score, batch_format="pyarrow",
+                              zero_copy_batch=True)

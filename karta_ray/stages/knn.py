@@ -1,0 +1,212 @@
+"""k-nearest-neighbor join: per-cell candidate probes with boundary-cell
+ring expansion.
+
+Distributed analogue of the reference's quadtree nearest queries
+(karta/vector/geometry.py:1349-1377, 576-591): the right-hand point set
+is indexed by Web-Mercator cell (sorted arrays, broadcast once via
+ray.put); each left batch groups its points by cell and expands a ring
+of neighbor tiles until (a) at least k candidates are found and (b) the
+k-th nearest distance is provably smaller than the distance to any
+unexplored tile — the exactness bound uses the spherical distance from
+the query tile to the explored bbox boundary (meridian arc for the
+north/south edges, exact point-to-meridian distance for east/west).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..kernels import geodesy, tiles
+
+D2R = np.pi / 180.0
+
+
+def _dist_sphere(lon0, lat0, lon1, lat1):
+    """Law-of-cosines spherical distance (meters, SPHERE_RADIUS)."""
+    c = (np.sin(lat0 * D2R) * np.sin(lat1 * D2R)
+         + np.cos(lat0 * D2R) * np.cos(lat1 * D2R)
+         * np.cos(lon1 * D2R - lon0 * D2R))
+    return geodesy.SPHERE_RADIUS * np.arccos(np.clip(c, -1.0, 1.0))
+
+
+class RightIndex:
+    """Cell-sorted point index for the broadcast (small) join side."""
+
+    def __init__(self, ids, lon, lat, zoom: int):
+        ids = np.asarray(ids, dtype=np.int64)
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        cell = tiles.cell_id(lon, lat, zoom)
+        order = np.argsort(cell, kind="stable")
+        self.zoom = zoom
+        self.cell = cell[order]
+        self.ids = ids[order]
+        self.lon = lon[order]
+        self.lat = lat[order]
+        self.uniq_cells, self.starts = np.unique(self.cell, return_index=True)
+        self.bounds = np.append(self.starts, len(self.cell))
+
+    def candidates_in_cells(self, cells: np.ndarray) -> np.ndarray:
+        """Indices of right points in any of the given cells."""
+        pos = np.searchsorted(self.uniq_cells, cells)
+        pos_c = np.minimum(pos, len(self.uniq_cells) - 1)
+        ok = (len(self.uniq_cells) > 0) & (self.uniq_cells[pos_c] == cells)
+        out = []
+        for p in pos_c[ok]:
+            out.append(np.arange(self.bounds[p], self.bounds[p + 1]))
+        if not out:
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate(out)
+
+
+def _tile_ring_cells(z, x, y, ring):
+    """Cells exactly at ring distance `ring` (the new frontier)."""
+    n = np.int64(1) << np.int64(z)
+    cells = []
+    if ring == 0:
+        return np.asarray([tiles.pack_cell(np.int64(z), np.int64(x), np.int64(y))])
+    for dx in range(-ring, ring + 1):
+        for dy in (-ring, ring):
+            yy = y + dy
+            if 0 <= yy < n:
+                cells.append((int((x + dx) % n), int(yy)))
+    for dy in range(-ring + 1, ring):
+        for dx in (-ring, ring):
+            yy = y + dy
+            if 0 <= yy < n:
+                cells.append((int((x + dx) % n), int(yy)))
+    if not cells:
+        return np.empty(0, dtype=np.int64)
+    cells = sorted(set(cells))
+    xs = np.asarray([c[0] for c in cells], dtype=np.int64)
+    ys = np.asarray([c[1] for c in cells], dtype=np.int64)
+    return tiles.pack_cell(np.full(len(xs), z, dtype=np.int64), xs, ys)
+
+
+def _explored_bound_m(z, x, y, ring, qlon, qlat):
+    """Lower bound (meters) on the distance from query points inside tile
+    (z, x, y) to anything OUTSIDE the (2*ring+1)^2 explored tile block."""
+    n = 1 << int(z)
+    xmin, ymin, xmax, ymax = tiles.tile_bbox(
+        np.int64(z), np.int64(x), np.int64(y))
+    # explored lon span and lat span (clamped at poles)
+    lon_w = float(xmin) - ring * 360.0 / n
+    lon_e = float(xmax) + ring * 360.0 / n
+    y_top = max(int(y) - ring, 0)
+    y_bot = min(int(y) + ring, n - 1)
+    _, lat_n = tiles.tile_nw_corner(np.int64(z), np.int64(x), np.int64(y_top))
+    _, lat_s = tiles.tile_nw_corner(np.int64(z), np.int64(x), np.int64(y_bot + 1))
+    R = geodesy.SPHERE_RADIUS
+
+    if lon_e - lon_w >= 360.0:
+        d_we = np.full_like(qlon, np.inf)
+    else:
+        dlon_w = np.abs(qlon - lon_w) * D2R
+        dlon_e = np.abs(lon_e - qlon) * D2R
+        d_w = R * np.arcsin(np.clip(np.cos(qlat * D2R) * np.sin(np.minimum(dlon_w, np.pi / 2)), -1, 1))
+        d_e = R * np.arcsin(np.clip(np.cos(qlat * D2R) * np.sin(np.minimum(dlon_e, np.pi / 2)), -1, 1))
+        d_we = np.minimum(d_w, d_e)
+    d_n = (np.inf if y_top == 0 else R * np.abs(float(lat_n) - qlat) * D2R)
+    d_s = (np.inf if y_bot == n - 1 else R * np.abs(qlat - float(lat_s)) * D2R)
+    return np.minimum(d_we, np.minimum(d_n, d_s))
+
+
+class KnnJoiner:
+    """map_batches stage: for each left row (lon/lat/cell_id), emit k
+    rows (left cols + neighbor_id + rank), exact by ring expansion."""
+
+    def __init__(self, index_ref, k: int, max_ring: int | None = None):
+        self.index: RightIndex = (ray.get(index_ref)
+                                  if isinstance(index_ref, ray.ObjectRef)
+                                  else index_ref)
+        self.k = k
+        self.max_ring = max_ring or (1 << self.index.zoom)
+
+    def _knn_group(self, qlon, qlat, z, x, y):
+        """Exact kNN for query points sharing one tile."""
+        idx = self.index
+        cand = []
+        ring = 0
+        while True:
+            cells = _tile_ring_cells(z, x, y, ring)
+            new = idx.candidates_in_cells(cells)
+            if len(new):
+                cand.append(new)
+            ncand = sum(len(c) for c in cand)
+            if ncand >= self.k or ring >= self.max_ring:
+                bound = _explored_bound_m(z, x, y, ring, qlon, qlat)
+                if ncand >= self.k:
+                    call = np.concatenate(cand)
+                    d = _dist_sphere(qlon[:, None], qlat[:, None],
+                                     idx.lon[call][None, :], idx.lat[call][None, :])
+                    kth = np.partition(d, self.k - 1, axis=1)[:, self.k - 1]
+                    if (kth <= bound).all() or ring >= self.max_ring:
+                        break
+                elif ring >= self.max_ring:
+                    break
+            ring += 1
+        call = np.concatenate(cand) if cand else np.empty(0, dtype=np.int64)
+        if len(call) == 0:
+            e = np.empty((len(qlon), 0), dtype=np.int64)
+            return e, np.empty((len(qlon), 0))
+        d = _dist_sphere(qlon[:, None], qlat[:, None],
+                         idx.lon[call][None, :], idx.lat[call][None, :])
+        kk = min(self.k, len(call))
+        # deterministic order: distance, then right id
+        order = np.lexsort((idx.ids[call][None, :].repeat(len(qlon), 0), d), axis=1)[:, :kk]
+        picked = call[order]
+        dist = np.take_along_axis(d, order, axis=1)
+        return idx.ids[picked], dist
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        cells = batch.column("cell_id").to_numpy(zero_copy_only=False)
+
+        order = np.argsort(cells, kind="stable")
+        uniq, starts = np.unique(cells[order], return_index=True)
+        bnds = np.append(starts, len(cells))
+
+        row_idx = []
+        nbr_ids = []
+        nbr_rank = []
+        nbr_dist = []
+        for i, cell in enumerate(uniq):
+            rows = order[bnds[i]:bnds[i + 1]]
+            if cell < 0:
+                continue
+            z, x, y = (int(v) for v in tiles.unpack_cell(np.int64(cell)))
+            ids, dist = self._knn_group(lon[rows], lat[rows], z, x, y)
+            kk = ids.shape[1]
+            if kk == 0:
+                continue
+            row_idx.append(np.repeat(rows, kk))
+            nbr_ids.append(ids.ravel())
+            nbr_rank.append(np.tile(np.arange(1, kk + 1, dtype=np.int64), len(rows)))
+            nbr_dist.append(dist.ravel())
+
+        if not row_idx:
+            out = batch.slice(0, 0)
+            out = out.append_column("neighbor_id", pa.array([], pa.int64()))
+            out = out.append_column("rank", pa.array([], pa.int64()))
+            return out.append_column("dist_m", pa.array([], pa.float64()))
+        ri = np.concatenate(row_idx)
+        out = batch.take(pa.array(ri, pa.int64()))
+        out = out.append_column("neighbor_id", pa.array(np.concatenate(nbr_ids), pa.int64()))
+        out = out.append_column("rank", pa.array(np.concatenate(nbr_rank), pa.int64()))
+        return out.append_column("dist_m", pa.array(np.concatenate(nbr_dist), pa.float64()))
+
+
+def knn_join(left_ds, right_index: RightIndex, k: int, *,
+             batch_size: int = 8192):
+    """left Dataset (lon/lat/cell_id) x broadcast RightIndex -> k rows
+    per left row with (neighbor_id, rank, dist_m)."""
+    ref = ray.put(right_index)
+    return left_ds.map_batches(
+        KnnJoiner,
+        fn_constructor_kwargs={"index_ref": ref, "k": k},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, 8), zero_copy_batch=True)

@@ -1,0 +1,172 @@
+"""Dedup / similarity-search / text-analysis operator tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from karta_ray.functions import text as T
+
+
+def corpus():
+    """Deterministic corpus with planted near-duplicates."""
+    rng = np.random.RandomState(3)
+    vocab = ("data table join query scan index merge sort filter batch "
+             "stream shuffle spill window group limit order part row").split()
+    docs = []
+    for i in range(30):
+        words = [vocab[j] for j in rng.randint(0, len(vocab), 40)]
+        docs.append(" ".join(words))
+    # planted near-dups: copy with small edits
+    docs.append(docs[0].replace("data", "datum", 1))
+    docs.append(docs[5] + " extra tail words")
+    docs.append(docs[12])
+    ids = np.arange(len(docs), dtype=np.int64)
+    return ids, docs
+
+
+def true_jaccard(a: str, b: str, n=3):
+    sa = {a[i:i + n] for i in range(len(a) - n + 1)}
+    sb = {b[i:i + n] for i in range(len(b) - n + 1)}
+    return len(sa & sb) / len(sa | sb)
+
+
+class TestTextFunctions:
+    def test_shingle_count_matches_distinct_substrings(self):
+        s = "hello world, hello again"
+        sh = T.char_shingles(s, 3)
+        want = {s[i:i + 3] for i in range(len(s) - 2)}
+        assert len(sh) == len(want)
+
+    def test_minhash_estimates_jaccard(self):
+        ids, docs = corpus()
+        a, b = docs[0], docs[30]  # planted near-dup
+        ja = true_jaccard(a, b)
+        siga = T.minhash_signature(T.char_shingles(a, 3))
+        sigb = T.minhash_signature(T.char_shingles(b, 3))
+        est = (siga == sigb).mean()
+        assert abs(est - ja) < 0.15
+
+    def test_simhash_near_for_near_dups(self):
+        ids, docs = corpus()
+        h0 = T.simhash64(T.hash_bytes_u64([w.encode() for w in docs[0].split()]))
+        h1 = T.simhash64(T.hash_bytes_u64([w.encode() for w in docs[30].split()]))
+        h2 = T.simhash64(T.hash_bytes_u64([w.encode() for w in docs[7].split()]))
+        assert int(T.hamming64(np.array([h0]), np.array([h1]))[0]) <= 6
+        assert int(T.hamming64(np.array([h0]), np.array([h2]))[0]) > 6
+
+    def test_hamming64(self):
+        a = np.array([0b1011], dtype=np.uint64)
+        b = np.array([0b0010], dtype=np.uint64)
+        assert T.hamming64(a, b)[0] == 2
+
+    def test_lang_id_markers(self):
+        assert T.lang_id("the cat and the dog went to the house") == "en"
+        assert T.lang_id("der hund und die katze ist nicht da") == "de"
+        assert T.lang_id("le chat et la maison est que belle") == "fr"
+        assert T.lang_id("el gato y la casa es que bonita") == "es"
+        assert T.lang_id("我不是在这里的人") == "zh"
+
+    def test_quality_counts(self):
+        n_chars, n_sp, n_per, n_com, n_dig = T.quality_counts("a b. c, 12 x.")
+        assert (n_chars, n_sp, n_per, n_com, n_dig) == (13, 4, 2, 1, 2)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupStages:
+    def _docs_ds(self):
+        import ray.data
+
+        ids, docs = corpus()
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(ids), "text": pa.array(docs)})), ids, docs
+
+    def test_ngram_jaccard_exact(self):
+        from karta_ray.stages.dedup import ngram_jaccard_pairs
+
+        ds, ids, docs = self._docs_ds()
+        got = ngram_jaccard_pairs(ds, threshold=0.7).to_pandas()
+        got_pairs = set(zip(got.doc_a, got.doc_b))
+        want = set()
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                if true_jaccard(docs[i], docs[j]) >= 0.7:
+                    want.add((i, j))
+        assert got_pairs == want
+        assert (0, 30) in want and (12, 32) in want
+
+    def test_minhash_lsh_recall(self):
+        from karta_ray.stages.dedup import minhash_lsh_pairs
+
+        ds, ids, docs = self._docs_ds()
+        got = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+        got_pairs = set(zip(got.doc_a, got.doc_b))
+        # every strongly-similar true pair must be found
+        for (i, j) in [(0, 30), (5, 31), (12, 32)]:
+            assert (i, j) in got_pairs, (i, j)
+
+    def test_simhash_pairs(self):
+        from karta_ray.stages.dedup import simhash_pairs
+
+        ds, ids, docs = self._docs_ds()
+        got = simhash_pairs(ds, max_hamming=3).to_pandas()
+        got_pairs = set(zip(got.doc_a, got.doc_b))
+        assert (12, 32) in got_pairs  # identical copy -> hamming 0
+        # verify every reported pair truly has hamming <= 3
+        sigs = [T.simhash64(T.hash_bytes_u64([w.encode() for w in d.split()]))
+                for d in docs]
+        for a, b in got_pairs:
+            h = T.hamming64(np.array([sigs[a]]), np.array([sigs[b]]))[0]
+            assert h <= 3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnn:
+    def _emb_ds(self, n=200, d=16):
+        import ray.data
+
+        rng = np.random.RandomState(9)
+        mat = rng.randn(n, d)
+        mat[50] = mat[3] + 0.01 * rng.randn(d)  # planted near-dup
+        ids = np.arange(n, dtype=np.int64)
+        labels = rng.randint(0, 8, n)
+        t = pa.table({"vec_id": pa.array(ids),
+                      "embedding": pa.array(mat.tolist()),
+                      "label": pa.array(labels, pa.int32())})
+        return ray.data.from_arrow(t), ids, mat, labels
+
+    def test_ann_topk_exact(self):
+        from karta_ray.stages.ann import ann_topk
+
+        ds, ids, mat, _ = self._emb_ds()
+        qids = ids[:3]
+        got = ann_topk(ds, qids, mat[:3], k=5).to_pandas()
+        norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = norm[:3] @ norm.T
+        for qi in range(3):
+            s = sims[qi].copy()
+            s[qi] = -np.inf
+            want = np.lexsort((ids, -s))[:5]
+            rows = got[got.query_id == qi].sort_values("rank")
+            assert rows.vec_id.tolist() == want.tolist()
+
+    def test_ann_ivf_recall(self):
+        from karta_ray.stages.ann import ann_ivf_topk, ann_topk
+
+        ds, ids, mat, labels = self._emb_ds()
+        qids = ids[:3]
+        exact = ann_topk(ds, qids, mat[:3], k=5).to_pandas()
+        approx = ann_ivf_topk(ds, qids, mat[:3], k=5, nprobe=3).to_pandas()
+        recalls = []
+        for qi in range(3):
+            e = set(exact[exact.query_id == qi].vec_id)
+            a = set(approx[approx.query_id == qi].vec_id)
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.5
+
+    def test_cosine_neardup(self):
+        from karta_ray.stages.ann import cosine_neardup_pairs
+
+        ds, ids, mat, _ = self._emb_ds()
+        got = cosine_neardup_pairs(ds, ids, mat, 0.95).to_pandas()
+        pairs = set(zip(got.vec_a, got.vec_b))
+        assert (3, 50) in pairs

@@ -1,0 +1,74 @@
+"""kNN join: exactness vs brute force, including cross-cell neighbors."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from karta_ray.kernels import tiles
+from karta_ray.stages.knn import KnnJoiner, RightIndex, _dist_sphere
+
+
+def brute_knn(qlon, qlat, ids, rlon, rlat, k):
+    d = _dist_sphere(qlon[:, None], qlat[:, None], rlon[None, :], rlat[None, :])
+    order = np.lexsort((np.broadcast_to(ids, d.shape), d), axis=1)[:, :k]
+    return ids[order]
+
+
+def make_joiner(index, k):
+    return KnnJoiner(index, k=k)
+
+
+class TestKnnExact:
+    def test_matches_brute_force(self):
+        rng = np.random.RandomState(7)
+        n_r = 500
+        rlon = rng.uniform(-170, 170, n_r)
+        rlat = rng.uniform(-75, 75, n_r)
+        ids = np.arange(1000, 1000 + n_r)
+        index = RightIndex(ids, rlon, rlat, zoom=5)
+
+        n_q = 200
+        qlon = rng.uniform(-179, 179, n_q)
+        qlat = rng.uniform(-80, 80, n_q)
+        cells = tiles.cell_id(qlon, qlat, 5)
+        batch = pa.table({"qid": pa.array(np.arange(n_q)),
+                          "lon": pa.array(qlon), "lat": pa.array(qlat),
+                          "cell_id": pa.array(cells)})
+        k = 5
+        out = make_joiner(index, k)(batch)
+        got = {}
+        for qid, nid, rank in zip(out.column("qid").to_pylist(),
+                                  out.column("neighbor_id").to_pylist(),
+                                  out.column("rank").to_pylist()):
+            got.setdefault(qid, {})[rank] = nid
+        want = brute_knn(qlon, qlat, ids, rlon, rlat, k)
+        for q in range(n_q):
+            assert [got[q][r] for r in range(1, k + 1)] == want[q].tolist(), q
+
+    def test_sparse_right_side(self):
+        # fewer right points than k in any nearby cell -> ring expansion
+        # must still find the globally nearest ones
+        rlon = np.array([0.0, 90.0, -90.0, 179.0])
+        rlat = np.array([0.0, 40.0, -40.0, -70.0])
+        ids = np.array([1, 2, 3, 4])
+        index = RightIndex(ids, rlon, rlat, zoom=6)
+        qlon = np.array([10.0])
+        qlat = np.array([5.0])
+        batch = pa.table({"lon": pa.array(qlon), "lat": pa.array(qlat),
+                          "cell_id": pa.array(tiles.cell_id(qlon, qlat, 6))})
+        out = make_joiner(index, 2)(batch)
+        want = brute_knn(qlon, qlat, ids, rlon, rlat, 2)
+        assert out.column("neighbor_id").to_pylist() == want[0].tolist()
+
+    def test_dateline_neighbors(self):
+        # nearest neighbor across the dateline must be found
+        rlon = np.array([179.5, 170.0, 0.0])
+        rlat = np.array([10.0, 10.0, 10.0])
+        ids = np.array([11, 12, 13])
+        index = RightIndex(ids, rlon, rlat, zoom=6)
+        qlon = np.array([-179.8])
+        qlat = np.array([10.0])
+        batch = pa.table({"lon": pa.array(qlon), "lat": pa.array(qlat),
+                          "cell_id": pa.array(tiles.cell_id(qlon, qlat, 6))})
+        out = make_joiner(index, 1)(batch)
+        assert out.column("neighbor_id").to_pylist() == [11]

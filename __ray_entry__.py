@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": Q.q_doc_quality,
         "doc_fingerprint": Q.q_doc_fingerprint,
         "lang_id": Q.q_lang_id,
+        "grid_sample": Q.q_grid_sample,
     }
 
 

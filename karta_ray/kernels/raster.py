@@ -1,0 +1,248 @@
+"""Raster kernels over plain numpy arrays.
+
+Grid model follows the reference's ``RegularGrid``
+(karta/raster/grid.py:81-194): a 6-tuple affine transform
+``(x0, y0, dx, dy, sx, sy)`` maps indices to world coordinates with
+pixel centers at half-offsets; values arrays are (ny, nx) or
+(ny, nx, bands), row 0 at the y0 edge (grids with negative dy are
+normalized at ingest).
+
+Kernels replicate the reference numerics:
+- positions: inverse affine with the -0.5 center offset
+  (karta/raster/crfuncs.pyx:11-33)
+- bilinear sampling incl. the asymmetric integer-index branch and
+  out-of-bounds -> nodata (crfuncs.pyx:35-157)
+- point-to-grid binning with per-cell means (crfuncs.pyx:159-195,
+  grid.py:1259-1302)
+- neighborhood stencils (karta/raster/misc.py)
+- polygon scanline mask (grid.py:1304-1384)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def positions(transform, x, y):
+    """Float (row, col) indices of world coords (center-referenced)."""
+    x0, y0, dx, dy, sx, sy = transform
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    j = (dy * x - dy * x0 + sx * y0 - sx * y) / (dx * dy - sx * sy)
+    i = (y - y0 - j * sy) / dy
+    return i - 0.5, j - 0.5
+
+
+def world_coords(transform, i, j):
+    """Pixel-center world coordinates of (row, col) indices
+    (karta/raster/coordgen.py semantics)."""
+    x0, y0, dx, dy, sx, sy = transform
+    i = np.asarray(i, dtype=np.float64)
+    j = np.asarray(j, dtype=np.float64)
+    x = x0 + (j + 0.5) * dx + (i + 0.5) * sx
+    y = y0 + (i + 0.5) * dy + (j + 0.5) * sy
+    return x, y
+
+
+def sample_nearest(transform, values, x, y, nodata=np.nan):
+    """Nearest-cell-center sampling; out-of-bounds -> nodata."""
+    I, J = positions(transform, x, y)
+    i = np.round(I).astype(np.int64)
+    j = np.round(J).astype(np.int64)
+    m, n = values.shape[:2]
+    ok = (i >= 0) & (i < m) & (j >= 0) & (j < n)
+    out = np.full(np.shape(i), nodata, dtype=np.float64)
+    out[ok] = values[i[ok], j[ok]]
+    return out
+
+
+def _lohi(v):
+    """The reference's asymmetric index bracket (crfuncs.pyx:48-68):
+    fractional -> (floor, floor+1); integer nonzero -> (v-1, v);
+    zero -> (0, 1)."""
+    v = np.asarray(v, dtype=np.float64)
+    frac = v % 1.0 != 0.0
+    lo = np.where(frac, np.floor(v), np.where(v != 0, v - 1.0, v))
+    hi = np.where(frac, np.floor(v) + 1.0, np.where(v != 0, v, v + 1.0))
+    return lo.astype(np.int64), hi.astype(np.int64)
+
+
+def sample_bilinear(transform, values, x, y, nodata=np.nan):
+    """Bilinear sampling (crfuncs.pyx:118-157); out-of-bounds -> nodata.
+    Integer dtypes truncate toward zero like the reference's int paths."""
+    I, J = positions(transform, x, y)
+    i0, i1 = _lohi(I)
+    j0, j1 = _lohi(J)
+    m, n = values.shape[:2]
+    ok = (i0 >= 0) & (i1 < m) & (j0 >= 0) & (j1 < n)
+    i0c = np.clip(i0, 0, m - 1)
+    i1c = np.clip(i1, 0, m - 1)
+    j0c = np.clip(j0, 0, n - 1)
+    j1c = np.clip(j1, 0, n - 1)
+    Z = values.astype(np.float64)
+    out = (Z[i0c, j0c] * (i1 - I) * (j1 - J)
+           + Z[i1c, j0c] * (I - i0) * (j1 - J)
+           + Z[i0c, j1c] * (i1 - I) * (J - j0)
+           + Z[i1c, j1c] * (I - i0) * (J - j0))
+    if np.issubdtype(values.dtype, np.integer):
+        out = np.trunc(out)
+    return np.where(ok, out, nodata)
+
+
+def bin_mean(x, y, z, transform, shape=None, nodata=np.nan):
+    """Points -> grid binning with per-cell means (``gridpoints``
+    semantics, grid.py:1259-1302): cell indices by rounding `positions`,
+    empty cells -> nodata. Returns (ny, nx) float64."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64)
+    x0, y0, dx, dy, sx, sy = transform
+    if shape is None:
+        ny = int((y.max() - y0) // dy) + 1
+        nx = int((x.max() - x0) // dx) + 1
+    else:
+        ny, nx = shape
+    I, J = positions(transform, x, y)
+    i = np.round(I).astype(np.int64)
+    j = np.round(J).astype(np.int64)
+    ok = (i >= 0) & (i < ny) & (j >= 0) & (j < nx)
+    flat = i[ok] * nx + j[ok]
+    sums = np.bincount(flat, weights=z[ok], minlength=ny * nx)
+    counts = np.bincount(flat, minlength=ny * nx)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = np.where(counts > 0, sums / np.maximum(counts, 1), nodata)
+    return out.reshape(ny, nx), counts.reshape(ny, nx)
+
+
+# ---------------------------------------------------------------------------
+# Neighborhood stencils (karta/raster/misc.py)
+# ---------------------------------------------------------------------------
+
+def _ddx_ddy(D, res):
+    dx, dy = res
+    Ddx = ((2 * D[1:-1, 2:] + D[:-2, 2:] + D[2:, 2:])
+           - (2 * D[1:-1, :-2] + D[:-2, :-2] + D[2:, :-2])) / (8.0 * dx)
+    Ddy = ((2 * D[2:, 1:-1] + D[2:, 2:] + D[2:, :-2])
+           - (2 * D[:-2, 1:-1] + D[:-2, :-2] + D[:-2, 2:])) / (8.0 * dy)
+    return Ddx, Ddy
+
+
+def slope(D, res=(1.0, 1.0)):
+    """ESRI neighbourhood slope; odd-reflect padded (misc.py:8-41)."""
+    Ddx, Ddy = _ddx_ddy(D, res)
+    return np.pad(np.sqrt(Ddx * Ddx + Ddy * Ddy), 1, "reflect",
+                  reflect_type="odd")
+
+
+def aspect(D, res=(1.0, 1.0)):
+    """Slope aspect; NaN-padded (misc.py:43-71)."""
+    Ddx, Ddy = _ddx_ddy(D, res)
+    return np.pad(np.arctan2(Ddy, -Ddx), 1, "constant",
+                  constant_values=np.nan)
+
+
+def gradient(D, res=(1.0, 1.0)):
+    """(dD/dx, dD/dy); NaN-padded (misc.py:73-101)."""
+    Ddx, Ddy = _ddx_ddy(D, res)
+    pad = lambda a: np.pad(a, 1, "constant", constant_values=np.nan)
+    return pad(Ddx), pad(Ddy)
+
+
+def divergence(U, V, res=(1.0, 1.0)):
+    """Central-difference divergence of (U, V) (misc.py:103-130)."""
+    dU = (U[:, 2:] - U[:, :-2]) / (2.0 * res[0])
+    dV = (V[2:, :] - V[:-2, :]) / (2.0 * res[1])
+    return (np.pad(dU, ((0, 0), (1, 1)), "constant", constant_values=np.nan)
+            + np.pad(dV, ((1, 1), (0, 0)), "constant", constant_values=np.nan))
+
+
+def hillshade(D, res=(1.0, 1.0), azimuth=330.0, elevation=60.0):
+    """Hillshade with 2-98 percentile clip (misc.py:167-206)."""
+    dzdx, dzdy = gradient(D, res)
+    nx_ = -res[1] * dzdx
+    ny_ = -res[0] * dzdy
+    nz_ = np.full_like(dzdx, res[0] * res[1])
+    norm = np.sqrt(nx_ ** 2 + ny_ ** 2 + nz_ ** 2)
+    s = np.array([np.cos(azimuth * np.pi / 180.0),
+                  np.sin(azimuth * np.pi / 180.0),
+                  np.sin(elevation * np.pi / 180.0)])
+    dprod = (nx_ * s[0] + ny_ * s[1] + nz_ * s[2]) / norm
+    finite = dprod[~np.isnan(dprod)]
+    q = np.percentile(finite, [2, 98])
+    return np.clip(dprod, q[0], q[1])
+
+
+# ---------------------------------------------------------------------------
+# Polygon scanline mask (grid.py:1304-1384)
+# ---------------------------------------------------------------------------
+
+def mask_poly(xpoly, ypoly, nx, ny, transform):
+    """Boolean inside-mask of a clockwise polygon over the grid, by
+    scanline mark/unmark from the southernmost vertex."""
+    xpoly = np.asarray(xpoly, dtype=np.float64)
+    ypoly = np.asarray(ypoly, dtype=np.float64)
+    mask = np.zeros((ny, nx), dtype=np.int32)
+
+    i_bot = 0
+    for i in range(1, len(ypoly)):
+        if (ypoly[i] < ypoly[i_bot]
+                or (ypoly[i] == ypoly[i_bot] and xpoly[i] < xpoly[i_bot])):
+            i_bot = i
+    x0 = xpoly[i_bot]
+    y0 = ypoly[i_bot]
+
+    ta, tb, tc, td, te, tf = transform
+    if tc < 0:
+        ta = ta + nx * tc
+        tc = -tc
+    if td < 0:
+        tb = tb + ny * td
+        td = -td
+
+    i0 = int(round((y0 - tb - tf / tc * (x0 - ta)) / (td - tf * te / tc)))
+    j0 = int(round((x0 - ta - te / td * (y0 - tb)) / (tc - te * tf / td)))
+
+    npts = len(xpoly)
+    for el in range(1, npts + 1):
+        idx = (el + i_bot) % npts
+        x1 = xpoly[idx]
+        y1 = ypoly[idx]
+        i1 = int(round((y1 - tb - tf / tc * (x1 - ta)) / (td - tf * te / tc)))
+        j1 = int(round((x1 - ta - te / td * (y1 - tb)) / (tc - te * tf / td)))
+
+        if ((0 <= i0 < ny) and (0 <= i1 < ny)) or (y1 != y0):
+            if y1 > y0:  # upward: mark cells to the right
+                ii = np.arange(i0, i1)
+                ok = (ii >= 0) & (ii < ny)
+                jj = np.round((ii - i0) * (x1 - x0) / (y1 - y0) + j0).astype(np.int64)
+                for i_, j_ in zip(ii[ok], jj[ok]):
+                    if j_ < nx:
+                        mask[i_, max(0, j_):] += 1
+            else:  # downward: unmark
+                ii = np.arange(i1, i0)
+                ok = (ii >= 0) & (ii < ny)
+                jj = np.round((ii - i1) * (x1 - x0) / (y1 - y0) + j1).astype(np.int64)
+                for i_, j_ in zip(ii[ok], jj[ok]):
+                    if j_ < nx:
+                        mask[i_, max(0, j_):] -= 1
+        x0, y0, i0, j0 = x1, y1, i1, j1
+
+    return mask.astype(bool)
+
+
+def mask_by_polys(values, transform, rings, nodata=np.nan):
+    """Apply mask_poly for a list of rings (each oriented any way;
+    flipped to clockwise like grid.py:650-656), OR-combined; outside ->
+    nodata."""
+    from . import predicates
+
+    ny, nx = values.shape[:2]
+    msk = np.zeros((ny, nx), dtype=bool)
+    for ring in rings:
+        ring = np.asarray(ring, dtype=np.float64)
+        if not predicates.ring_is_clockwise(ring):
+            ring = ring[::-1]
+        msk |= mask_poly(ring[:, 0], ring[:, 1], nx, ny, transform)
+    out = values.astype(np.float64).copy()
+    out[~msk] = nodata
+    return out

@@ -401,6 +401,33 @@ def q_text_stats(sf_dir: str):
     return tree_sum(part, ["lang"], ["n_docs", "sum_chars", "sum_tokens"])
 
 
+GRID_T = (-180.0, -80.0, 1.0, 1.0, 0.0, 0.0)
+GRID_SHAPE = (160, 360)
+
+
+def _synthetic_grid():
+    jj, ii = np.meshgrid(np.arange(GRID_SHAPE[1]), np.arange(GRID_SHAPE[0]))
+    return ((ii * 31 + jj * 17) % 97).astype(np.float64)
+
+
+def q_grid_sample(sf_dir: str):
+    """Raster<-vector sampling join: nearest-cell sample of a synthetic
+    1-degree grid at every derived point (karta Grid.sample_nearest
+    semantics incl. banker's rounding of half-indices)."""
+    from ..stages.raster import sample_points
+
+    ds = points_ds(sf_dir)
+    out = sample_points(ds, _synthetic_grid(), GRID_T, mode="nearest")
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy()
+        t = batch.select(["l_orderkey", "l_linenumber"])
+        return t.append_column("cell_value",
+                               pa.array(v.astype(np.int64), pa.int64()))
+
+    return out.map_batches(to_int, batch_format="pyarrow")
+
+
 NGRAM_TAU = 0.7
 ANN_K = 10
 ANN_NQUERIES = 5
@@ -668,6 +695,14 @@ SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
        CAST(SUM(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)) AS BIGINT) AS sum_tokens
 FROM documents GROUP BY lang
+""",
+        "grid_sample": f"""
+WITH pts AS ({PTS_SQL})
+SELECT l_orderkey, l_linenumber,
+       (CAST(round_even(lat - {GRID_T[1]!r} - 0.5, 0) AS BIGINT) * 31
+        + CAST(round_even(lon - {GRID_T[0]!r} - 0.5, 0) AS BIGINT) * 17) % 97
+       AS cell_value
+FROM pts
 """,
         "ngram_jaccard": f"""
 WITH g AS (

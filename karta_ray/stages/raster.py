@@ -1,0 +1,223 @@
+"""Raster layers as Ray Datasets of tile records.
+
+A raster layer is a Dataset with rows
+``(grid_id, band, tile_i, tile_j, i0, j0, ny, nx, pt, pl, pny, pnx,
+transform, values)`` — 256x256 float64 tiles (karta's CompressedBand
+chunk size, karta/raster/band.py:249). ``i0/j0/ny/nx`` describe the
+tile's own region; ``values`` is a (pny, pnx) block that may include a
+halo of ``pt`` rows above / ``pl`` cols left (clamped at grid edges),
+the distributed analogue of the reference's overlapping chunks
+(``aschunks(overlap=...)``, karta/raster/grid.py:479-523).
+
+Stages:
+- ``tiles_from_grid`` / ``grid_from_tiles``: (de)tiling.
+- ``stencil_stage``: per-tile numpy stencil over halo-padded tiles,
+  trimming the halo on output — embarrassingly parallel map_batches.
+- ``sample_points``: raster<-vector sampling join (broadcast grid).
+- ``grid_bin_stage``: vector->raster binning (gridpoints semantics) via
+  per-batch partial sums + tree combine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..kernels import raster as RK
+from .agg import tree_sum
+
+TILE = 256
+
+
+def tiles_from_grid(values, transform, *, grid_id=0, band=0,
+                    tile=TILE, overlap=0) -> pa.Table:
+    """Split a (ny, nx) array into tile records (optionally with halo)."""
+    values = np.asarray(values, dtype=np.float64)
+    gny, gnx = values.shape
+    cols = {k: [] for k in ("grid_id", "band", "tile_i", "tile_j", "i0",
+                            "j0", "ny", "nx", "pt", "pl", "pny", "pnx",
+                            "transform", "values")}
+    for ti, i0 in enumerate(range(0, gny, tile)):
+        for tj, j0 in enumerate(range(0, gnx, tile)):
+            ny = min(tile, gny - i0)
+            nx = min(tile, gnx - j0)
+            ilo = max(0, i0 - overlap)
+            ihi = min(gny, i0 + ny + overlap)
+            jlo = max(0, j0 - overlap)
+            jhi = min(gnx, j0 + nx + overlap)
+            block = np.ascontiguousarray(values[ilo:ihi, jlo:jhi])
+            cols["grid_id"].append(grid_id)
+            cols["band"].append(band)
+            cols["tile_i"].append(ti)
+            cols["tile_j"].append(tj)
+            cols["i0"].append(i0)
+            cols["j0"].append(j0)
+            cols["ny"].append(ny)
+            cols["nx"].append(nx)
+            cols["pt"].append(i0 - ilo)
+            cols["pl"].append(j0 - jlo)
+            cols["pny"].append(ihi - ilo)
+            cols["pnx"].append(jhi - jlo)
+            cols["transform"].append(list(transform))
+            cols["values"].append(block.tobytes())
+    return pa.table({
+        **{k: pa.array(cols[k], pa.int64()) for k in
+           ("grid_id", "band", "tile_i", "tile_j", "i0", "j0", "ny", "nx",
+            "pt", "pl", "pny", "pnx")},
+        "transform": pa.array(cols["transform"], pa.list_(pa.float64(), 6)),
+        "values": pa.array(cols["values"], pa.binary()),
+    })
+
+
+def tiles_dataset(values, transform, **kw):
+    import ray.data
+
+    return ray.data.from_arrow(tiles_from_grid(values, transform, **kw))
+
+
+def _block(batch: pa.Table, r: int) -> np.ndarray:
+    pny = batch.column("pny")[r].as_py()
+    pnx = batch.column("pnx")[r].as_py()
+    return np.frombuffer(batch.column("values")[r].as_py(),
+                         dtype=np.float64).reshape(pny, pnx)
+
+
+def grid_from_tiles(table: pa.Table, shape=None):
+    """Reassemble (values, transform), trimming halos."""
+    i0 = table.column("i0").to_numpy()
+    j0 = table.column("j0").to_numpy()
+    ny = table.column("ny").to_numpy()
+    nx = table.column("nx").to_numpy()
+    pt = table.column("pt").to_numpy()
+    pl = table.column("pl").to_numpy()
+    if shape is None:
+        shape = (int((i0 + ny).max()), int((j0 + nx).max()))
+    out = np.full(shape, np.nan)
+    transform = None
+    for r in range(table.num_rows):
+        transform = tuple(table.column("transform")[r].as_py())
+        block = _block(table, r)
+        own = block[pt[r]:pt[r] + ny[r], pl[r]:pl[r] + nx[r]]
+        out[i0[r]:i0[r] + ny[r], j0[r]:j0[r] + nx[r]] = own
+    return out, transform
+
+
+def stencil_stage(tiles_ds, kernel: str, *, res=(1.0, 1.0),
+                  **kernel_kwargs):
+    """Apply a named stencil kernel per halo-padded tile; the output
+    tiles are trimmed to their own region (pt = pl = 0), so grid-edge
+    padding semantics come only from true grid edges. Create the input
+    tiles with ``overlap`` >= the stencil's reach (1)."""
+    fn = {"slope": RK.slope, "aspect": RK.aspect,
+          "hillshade": RK.hillshade}[kernel]
+
+    def apply(batch: pa.Table) -> pa.Table:
+        vals = []
+        for r in range(batch.num_rows):
+            ny = batch.column("ny")[r].as_py()
+            nx = batch.column("nx")[r].as_py()
+            pt = batch.column("pt")[r].as_py()
+            pl = batch.column("pl")[r].as_py()
+            block = _block(batch, r)
+            result = fn(block, res=res, **kernel_kwargs)
+            own = np.ascontiguousarray(result[pt:pt + ny, pl:pl + nx])
+            vals.append(own.tobytes())
+        out = batch.set_column(batch.schema.get_field_index("values"),
+                               "values", pa.array(vals, pa.binary()))
+        zeros = pa.array(np.zeros(batch.num_rows, dtype=np.int64))
+        out = out.set_column(out.schema.get_field_index("pt"), "pt", zeros)
+        out = out.set_column(out.schema.get_field_index("pl"), "pl", zeros)
+        out = out.set_column(out.schema.get_field_index("pny"), "pny",
+                             out.column("ny"))
+        return out.set_column(out.schema.get_field_index("pnx"), "pnx",
+                              out.column("nx"))
+
+    return tiles_ds.map_batches(apply, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+class GridSampler:
+    """map_batches stage sampling a broadcast grid at point rows."""
+
+    def __init__(self, grid_ref, mode: str = "bilinear",
+                 x_col: str = "lon", y_col: str = "lat",
+                 out_col: str = "value"):
+        g = ray.get(grid_ref) if isinstance(grid_ref, ray.ObjectRef) else grid_ref
+        self.values = g["values"]
+        self.transform = g["transform"]
+        self.nodata = g.get("nodata", np.nan)
+        self.mode = mode
+        self.x_col = x_col
+        self.y_col = y_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column(self.x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(self.y_col).to_numpy(zero_copy_only=False)
+        if self.mode == "nearest":
+            v = RK.sample_nearest(self.transform, self.values, x, y,
+                                  self.nodata)
+        else:
+            v = RK.sample_bilinear(self.transform, self.values, x, y,
+                                   self.nodata)
+        return batch.append_column(self.out_col, pa.array(v, pa.float64()))
+
+
+def sample_points(points_ds, values, transform, *, mode="bilinear",
+                  nodata=np.nan, x_col="lon", y_col="lat"):
+    """Raster<-vector sampling join: broadcast the grid once, sample per
+    batch (karta ``Grid.sample``, grid.py:971-1033)."""
+    ref = ray.put({"values": np.asarray(values, dtype=np.float64),
+                   "transform": tuple(transform), "nodata": nodata})
+    return points_ds.map_batches(
+        GridSampler,
+        fn_constructor_kwargs={"grid_ref": ref, "mode": mode,
+                               "x_col": x_col, "y_col": y_col},
+        batch_format="pyarrow", concurrency=(1, 8), zero_copy_batch=True)
+
+
+def profile_stage(line_verts, dx, values, transform, crs, *, mode="bilinear"):
+    """karta ``Grid.profile`` (grid.py:1035-1064): resample the line at
+    spacing dx, then sample the grid at the points. Returns an Arrow
+    table (x, y, value)."""
+    from ..kernels.lines import to_points
+
+    pts = to_points(line_verts, dx, crs)
+    v = (RK.sample_bilinear(transform, values, pts[:, 0], pts[:, 1])
+         if mode == "bilinear" else
+         RK.sample_nearest(transform, values, pts[:, 0], pts[:, 1]))
+    return pa.table({"x": pa.array(pts[:, 0]), "y": pa.array(pts[:, 1]),
+                     "value": pa.array(v)})
+
+
+def grid_bin_stage(points_ds, transform, shape, *, x_col="lon",
+                   y_col="lat", z_col="value"):
+    """Distributed gridpoints: per-batch partial (sum, count) per cell ->
+    tree combine -> mean finalize. Returns Dataset (gi, gj, n, mean)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False)
+        z = batch.column(z_col).to_numpy(zero_copy_only=False)
+        I, J = RK.positions(transform, x, y)
+        i = np.round(I).astype(np.int64)
+        j = np.round(J).astype(np.int64)
+        ok = (i >= 0) & (i < shape[0]) & (j >= 0) & (j < shape[1])
+        t = pa.table({"gi": pa.array(i[ok]), "gj": pa.array(j[ok]),
+                      "zsum": pa.array(z[ok].astype(np.float64)),
+                      "n": pa.array(np.ones(int(ok.sum()), dtype=np.int64))})
+        g = t.group_by(["gi", "gj"]).aggregate([("zsum", "sum"), ("n", "sum")])
+        return g.rename_columns(["gi", "gj", "zsum", "n"])
+
+    part = points_ds.map_batches(partial, batch_format="pyarrow")
+    agg = tree_sum(part, ["gi", "gj"], ["zsum", "n"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        zs = batch.column("zsum").to_numpy()
+        n = batch.column("n").to_numpy()
+        return pa.table({"gi": batch.column("gi"), "gj": batch.column("gj"),
+                         "n": batch.column("n"),
+                         "mean": pa.array(zs / n, pa.float64())})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

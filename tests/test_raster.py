@@ -1,0 +1,234 @@
+"""Raster goldens ported from /root/reference/tests/grid_tests.py and
+aai_tests.py, plus tiled-stage equivalence tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from karta_ray.kernels import raster as RK
+from karta_ray.sources.aai import read_aai, write_aai
+
+T_UNIT = (0.0, 0.0, 1.0, 1.0, 0.0, 0.0)
+
+
+def peaks(n=49):
+    X, Y = np.meshgrid(np.linspace(-3, 3, n), np.linspace(-3, 3, n))
+    return (3.0 * (1 - X) ** 2 * np.exp(-X ** 2 - (Y + 1) ** 2)
+            - 10.0 * (X / 5.0 - X ** 3 - Y ** 5) * np.exp(-X ** 2 - Y ** 2)
+            - 1.0 / 3.0 * np.exp(-(X + 1) ** 2 - Y ** 2))
+
+
+class TestSampling:
+    V22 = np.array([[0.0, 1.0], [1.0, 0.5]])
+
+    def test_nearest(self):
+        # grid_tests.py:220-226
+        assert RK.sample_nearest(T_UNIT, self.V22, 0.6, 0.7) == 0.0
+        assert RK.sample_nearest(T_UNIT, self.V22, 0.6, 1.3) == 1.0
+        assert RK.sample_nearest(T_UNIT, self.V22, 1.4, 0.3) == 1.0
+        assert RK.sample_nearest(T_UNIT, self.V22, 1.6, 1.3) == 0.5
+
+    def test_nearest_skewed(self):
+        # grid_tests.py:254-260
+        T = (0.0, 0.0, 1.0, 1.0, 0.5, 0.2)
+        assert RK.sample_nearest(T, self.V22, 1.0, 0.75) == 0.0
+        assert RK.sample_nearest(T, self.V22, 1.5, 1.05) == 1.0
+        assert RK.sample_nearest(T, self.V22, 1.2, 1.4) == 1.0
+        assert RK.sample_nearest(T, self.V22, 2.0, 1.7) == 0.5
+
+    def test_bilinear(self):
+        # grid_tests.py:262-265
+        assert RK.sample_bilinear(T_UNIT, self.V22, 1.0, 1.0) == 0.625
+
+    def test_bilinear_int_trunc(self):
+        # grid_tests.py:281-296: integer grids truncate
+        vi = np.array([[0, 2], [2, 1]], dtype=np.int32)
+        assert RK.sample_bilinear(T_UNIT, vi, 1.0, 1.0) == 1
+        vu = np.array([[0, 2], [2, 1]], dtype=np.uint16)
+        assert RK.sample_bilinear(T_UNIT, vu, 1.0, 1.0) == 1
+
+    def test_bilinear_skewed(self):
+        # grid_tests.py:305-309
+        T = (0.0, 0.0, 1.0, 1.0, 0.5, 0.2)
+        assert RK.sample_bilinear(T, self.V22, 1.5, 1.2) == pytest.approx(0.625)
+
+    def test_bilinear_golden_grid(self):
+        # grid_tests.py:311-319
+        xi, yi = np.meshgrid(np.linspace(0.5, 1.5), np.linspace(0.5, 1.5))
+        z = RK.sample_bilinear(T_UNIT, self.V22, xi.ravel(), yi.ravel())
+        assert z[400] == pytest.approx(0.16326530612244894)
+        assert z[1200] == pytest.approx(0.48979591836734693)
+        assert z[1550] == pytest.approx(0.63265306122448983)
+        assert z[2120] == pytest.approx(0.74052478134110788)
+
+    def test_out_of_bounds_nodata(self):
+        out = RK.sample_bilinear(T_UNIT, self.V22, np.array([5.0]),
+                                 np.array([5.0]))
+        assert np.isnan(out[0])
+
+
+class TestBinning:
+    def test_gridpoints_golden(self):
+        # grid_tests.py:629-641
+        rng = np.random.RandomState(49)
+        x = rng.rand(20000) * 10.0 - 5.0
+        y = rng.rand(20000) * 10.0 - 5.0
+        z = x ** 2 + y ** 3
+        T = (-5.0, -5.0, 0.25, 0.25, 0.0, 0.0)
+        grid, counts = RK.bin_mean(x, y, z, T)
+        ny, nx = grid.shape
+        jj, ii = np.meshgrid(np.arange(nx), np.arange(ny))
+        Xg, Yg = RK.world_coords(T, ii, jj)
+        resid = np.nansum(np.abs(Xg ** 2 + Yg ** 3 - grid)) / Xg.size
+        assert resid < 0.45
+
+
+class TestMaskPoly:
+    def _flower(self, scale=12, cx=4, cy=4):
+        t = -np.linspace(0, 2 * np.pi, 200)
+        xp = ((2 + np.cos(7 * t)) * np.cos(t + 0.3) + cx) * scale
+        yp = ((2 + np.cos(7 * t)) * np.sin(t + 0.2) + cy) * scale
+        return np.column_stack([xp, yp])
+
+    def test_mask_golden(self):
+        # grid_tests.py:459-469
+        grid = np.arange(1e6).reshape(1000, 1000)
+        T = (0.0, 0.0, 0.1, 0.1, 0.0, 0.0)
+        masked = RK.mask_by_polys(grid, T, [self._flower()])
+        assert int(np.nansum(masked)) == 97048730546
+
+    def test_mask_partial(self):
+        # grid_tests.py:481-490
+        grid = np.arange(1e6).reshape(1000, 1000)
+        T = (0.0, 0.0, 0.1, 0.1, 0.0, 0.0)
+        ring = self._flower(cx=2, cy=2)
+        masked = RK.mask_by_polys(grid, T, [ring])
+        assert int((~np.isnan(masked)).sum()) == 181424
+
+    def test_mask_partial_offgrid_start(self):
+        # grid_tests.py:492-498
+        grid = np.ones((7, 7))
+        ring = np.array([(-2.0, 3.0), (8.0, -5.0), (8.0, -1.0), (-2.0, 7.0)])
+        masked = RK.mask_by_polys(grid, (0, 0, 1, 1, 0, 0), [ring])
+        assert int((~np.isnan(masked)).sum()) == 20
+
+    def test_mask_multiple(self):
+        # grid_tests.py:500-515
+        grid = np.arange(1e6).reshape(1000, 1000)
+        T = (0.0, 0.0, 0.1, 0.1, 0.0, 0.0)
+        t = -np.linspace(0, 2 * np.pi, 200)
+        xp1 = ((2 + np.cos(7 * t)) * np.cos(t + 0.3) + 4) * 4 + 15
+        yp1 = ((2 + np.cos(7 * t)) * np.sin(t + 0.2) + 4) * 4 + 72
+        xp2 = ((2 + np.cos(7 * t)) * np.cos(t + 0.3) + 4) * 6 + 40
+        yp2 = ((2 + np.cos(7 * t)) * np.sin(t + 0.2) + 4) * 6 + 30
+        masked = RK.mask_by_polys(grid, T,
+                                  [np.column_stack([xp1, yp1]),
+                                   np.column_stack([xp2, yp2])])
+        assert int(np.nansum(masked)) == 47081206720
+
+
+class TestAAI:
+    def test_read_corner_and_center(self):
+        # aai_tests.py:9-21 (ported verbatim: grid[::-1] == control)
+        control = peaks(49)
+        for ref in ("corner", "center"):
+            vals, T, nodata = read_aai(
+                f"/root/reference/tests/data/peaks49_{ref}.asc")
+            assert T == (0.0, 0.0, 30.0, 30.0, 0.0, 0.0)
+            np.testing.assert_allclose(vals[::-1], control, atol=1e-6)
+
+    def test_write_roundtrip(self, tmp_path):
+        control = peaks(9)
+        p = str(tmp_path / "x.asc")
+        write_aai(p, control, (0.0, 0.0, 30.0, 30.0, 0.0, 0.0))
+        vals, T, _ = read_aai(p)
+        np.testing.assert_allclose(vals, control, atol=1e-12)
+        assert T == (0.0, 0.0, 30.0, 30.0, 0.0, 0.0)
+
+
+class TestStencils:
+    def test_slope_flat(self):
+        D = np.ones((10, 10))
+        s = RK.slope(D)
+        np.testing.assert_allclose(s, 0.0)
+
+    def test_slope_ramp(self):
+        jj, ii = np.meshgrid(np.arange(12), np.arange(12))
+        D = 2.0 * jj  # constant d/dx = 2
+        s = RK.slope(D, res=(1.0, 1.0))
+        np.testing.assert_allclose(s[1:-1, 1:-1], 2.0)
+
+    def test_aspect_direction(self):
+        jj, ii = np.meshgrid(np.arange(12), np.arange(12))
+        D = 1.0 * ii  # increases northward
+        a = RK.aspect(D)
+        # aspect = atan2(dDdy, -dDdx) = atan2(1, 0) = pi/2
+        np.testing.assert_allclose(a[1:-1, 1:-1], np.pi / 2)
+
+    def test_hillshade_range(self):
+        h = RK.hillshade(peaks(49), res=(30.0, 30.0))
+        inner = h[1:-1, 1:-1]
+        assert np.isfinite(inner).all()
+        assert inner.std() > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTiledStages:
+    def test_tile_roundtrip(self):
+        from karta_ray.stages.raster import grid_from_tiles, tiles_from_grid
+
+        vals = peaks(100)
+        t = tiles_from_grid(vals, T_UNIT, tile=32, overlap=2)
+        back, T = grid_from_tiles(t)
+        np.testing.assert_allclose(back, vals)
+        assert T == T_UNIT
+
+    def test_stencil_stage_matches_whole_grid(self):
+        from karta_ray.stages.raster import (grid_from_tiles, stencil_stage,
+                                             tiles_dataset)
+
+        vals = peaks(100)
+        ds = tiles_dataset(vals, T_UNIT, tile=32, overlap=1)
+        out = stencil_stage(ds, "slope", res=(1.0, 1.0))
+        import ray
+        tabs = [ray.get(r) for r in out.to_arrow_refs()]
+        got, _ = grid_from_tiles(pa.concat_tables(tabs))
+        want = RK.slope(vals)
+        # interior must match exactly; tile edges rely on halos
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_sample_points_stage(self):
+        import ray.data
+
+        from karta_ray.stages.raster import sample_points
+
+        vals = peaks(49)
+        T = (0.0, 0.0, 30.0, 30.0, 0.0, 0.0)
+        rng = np.random.RandomState(1)
+        x = rng.uniform(30, 1400, 500)
+        y = rng.uniform(30, 1400, 500)
+        pts = ray.data.from_arrow(pa.table({"lon": pa.array(x),
+                                            "lat": pa.array(y)}))
+        out = sample_points(pts, vals, T, mode="bilinear").to_pandas()
+        want = RK.sample_bilinear(T, vals, x, y)
+        np.testing.assert_allclose(np.sort(out["value"].to_numpy()),
+                                   np.sort(want), atol=1e-12)
+
+    def test_grid_bin_stage_matches_kernel(self):
+        import ray.data
+
+        from karta_ray.stages.raster import grid_bin_stage
+
+        rng = np.random.RandomState(5)
+        x = rng.rand(5000) * 10 - 5
+        y = rng.rand(5000) * 10 - 5
+        z = x + y
+        T = (-5.0, -5.0, 0.5, 0.5, 0.0, 0.0)
+        pts = ray.data.from_arrow(pa.table({
+            "lon": pa.array(x), "lat": pa.array(y), "value": pa.array(z)}))
+        got = grid_bin_stage(pts, T, (20, 20)).to_pandas()
+        want, counts = RK.bin_mean(x, y, z, T, shape=(20, 20))
+        for _, row in got.iterrows():
+            assert row["mean"] == pytest.approx(
+                want[int(row.gi), int(row.gj)], abs=1e-9)
+        assert got["n"].sum() == counts.sum()

@@ -49,6 +49,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": Q.q_doc_fingerprint,
         "lang_id": Q.q_lang_id,
         "grid_sample": Q.q_grid_sample,
+        "within_bbox": Q.q_within_bbox,
+        "convex_hull": Q.q_convex_hull,
+        "salted_cell_count": Q.q_salted_cell_count,
     }
 
 

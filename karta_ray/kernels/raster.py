@@ -114,6 +114,43 @@ def bin_mean(x, y, z, transform, shape=None, nodata=np.nan):
     return out.reshape(ny, nx), counts.reshape(ny, nx)
 
 
+def clip(values, transform, xmin, ymin, xmax, ymax):
+    """Sub-grid covering the world bbox (karta ``Grid.clip``,
+    grid.py:525-562): keep pixels whose centers fall inside."""
+    ny, nx = values.shape[:2]
+    xc, _ = world_coords(transform, np.zeros(nx), np.arange(nx))
+    _, yc = world_coords(transform, np.arange(ny), np.zeros(ny))
+    cols = np.nonzero((xc >= xmin) & (xc <= xmax))[0]
+    rows = np.nonzero((yc >= ymin) & (yc <= ymax))[0]
+    if len(rows) == 0 or len(cols) == 0:
+        return values[:0, :0], transform
+    r0, r1 = rows.min(), rows.max() + 1
+    c0, c1 = cols.min(), cols.max() + 1
+    x0, y0, dx, dy, sx, sy = transform
+    new_t = (x0 + c0 * dx, y0 + r0 * dy, dx, dy, sx, sy)
+    return values[r0:r1, c0:c1], new_t
+
+
+def resample(values, transform, new_dx, new_dy, *, method="nearest",
+             nodata=np.nan):
+    """Resample to a new resolution (karta ``Grid.resample``,
+    grid.py:724-760): sample the source at the new pixel centers."""
+    x0, y0, dx, dy, sx, sy = transform
+    if sx or sy:
+        raise NotImplementedError("resample not defined for skewed grids")
+    ny, nx = values.shape[:2]
+    new_ny = int(ny * dy / new_dy)
+    new_nx = int(nx * dx / new_dx)
+    jj, ii = np.meshgrid(np.arange(new_nx), np.arange(new_ny))
+    new_t = (x0, y0, new_dx, new_dy, 0.0, 0.0)
+    xq, yq = world_coords(new_t, ii.ravel(), jj.ravel())
+    if method == "nearest":
+        out = sample_nearest(transform, values, xq, yq, nodata)
+    else:
+        out = sample_bilinear(transform, values, xq, yq, nodata)
+    return out.reshape(new_ny, new_nx), new_t
+
+
 # ---------------------------------------------------------------------------
 # Neighborhood stencils (karta/raster/misc.py)
 # ---------------------------------------------------------------------------

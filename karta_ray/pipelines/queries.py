@@ -401,6 +401,48 @@ def q_text_stats(sf_dir: str):
     return tree_sum(part, ["lang"], ["n_docs", "sum_chars", "sum_tokens"])
 
 
+BBOX = (-60.0, -30.0, 45.0, 42.5)
+
+
+def q_within_bbox(sf_dir: str):
+    """Strict bbox filter (karta ``within_bbox`` exclusive-bounds
+    fallback semantics, karta/vector/geometry.py:1379-1389)."""
+    ds = points_ds(sf_dir)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        keep = ((BBOX[0] < lon) & (lon < BBOX[2])
+                & (BBOX[1] < lat) & (lat < BBOX[3]))
+        return batch.select(["l_orderkey", "l_linenumber"]).take(
+            pa.array(np.nonzero(keep)[0], pa.int64()))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def q_convex_hull(sf_dir: str):
+    """Global convex hull of the derived point cloud (distributed
+    partial-hull + exact final); rows-only driver check, vertex-order
+    goldens in tests."""
+    from ..stages.hullagg import convex_hull
+
+    ds = points_ds(sf_dir)
+    return convex_hull(ds, x_col="lon", y_col="lat", geographical=False)
+
+
+def q_salted_cell_count(sf_dir: str):
+    """Per-cell point counts via the salted-groupby path (hot cells split
+    into sub-keys then recombined); results identical to a plain count,
+    which is the oracle."""
+    from ..stages.skew import salted_count
+    from ..stages.tiles import assign_cells
+
+    ds = points_ds(sf_dir)
+    ds = ds.map_batches(assign_cells, batch_format="pyarrow",
+                        fn_kwargs={"zoom": 4, "with_xyz": False})
+    return salted_count(ds, "cell_id", salts=8)
+
+
 GRID_T = (-180.0, -80.0, 1.0, 1.0, 0.0, 0.0)
 GRID_SHAPE = (160, 360)
 
@@ -695,6 +737,20 @@ SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
        CAST(SUM(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)) AS BIGINT) AS sum_tokens
 FROM documents GROUP BY lang
+""",
+        "within_bbox": f"""
+WITH pts AS ({PTS_SQL})
+SELECT l_orderkey, l_linenumber FROM pts
+WHERE lon > {BBOX[0]!r} AND lon < {BBOX[2]!r}
+  AND lat > {BBOX[1]!r} AND lat < {BBOX[3]!r}
+""",
+        "salted_cell_count": f"""
+WITH pts AS ({PTS_SQL})
+SELECT {4 << 58}
+       + CAST(floor((128/pi()*2^4) * (lon*pi()/180 + pi()) / 256) AS BIGINT)*536870912
+       + CAST(floor((128/pi()*2^4) * (pi() - ln(tan(pi()/4 + lat*pi()/360))) / 256) AS BIGINT) AS cell_id,
+       COUNT(*) AS n
+FROM pts GROUP BY 1
 """,
         "grid_sample": f"""
 WITH pts AS ({PTS_SQL})

@@ -1,0 +1,94 @@
+"""Explicit skew handling for hot groupby keys (salted aggregation).
+
+Dense urban cells make the (cell_id) key distribution heavy-tailed at
+web scale: a naive shuffle sends every row of a hot key to one reducer.
+Two mitigations used by this engine:
+
+1. **Partial aggregation** (stages/agg.py tree_sum): hot keys contribute
+   one partial row per block, not per record — the default for bounded-
+   cardinality aggregates; skew is absorbed before any shuffle.
+2. **Salted groupby** (this module): when per-key *state* must be
+   grouped (map_groups, per-key top-k), hot keys are split into
+   ``key + salt`` sub-keys, processed per sub-key, then re-combined.
+   Hot keys are detected with a cheap sampled pre-pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def detect_hot_keys(ds, key_col: str, *, sample_fraction: float = 0.05,
+                    hot_fraction: float = 0.01, min_rows: int = 1000):
+    """Sampled pre-pass: keys whose sampled share exceeds hot_fraction.
+
+    Returns (hot_keys ndarray, sampled_counts dict) — a small driver-side
+    result (top keys only), not a materialization of the dataset.
+    """
+    sample = ds.random_sample(sample_fraction, seed=42)
+
+    def count(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col])
+        g = t.group_by([key_col]).aggregate([([], "count_all")])
+        return g.rename_columns([key_col, "n"])
+
+    part = sample.map_batches(count, batch_format="pyarrow")
+    from .agg import tree_sum
+
+    counts = tree_sum(part, [key_col], ["n"]).to_pandas()
+    total = counts["n"].sum()
+    if total == 0:
+        return np.empty(0, dtype=np.int64), {}
+    hot = counts[(counts["n"] >= hot_fraction * total)
+                 & (counts["n"] >= min_rows * sample_fraction)]
+    return hot[key_col].to_numpy(), dict(zip(counts[key_col], counts["n"]))
+
+
+def add_salt(ds, key_col: str, hot_keys, *, salts: int = 16,
+             salt_col: str = "salt"):
+    """Add a salt column: 0 for cold keys; hash(row) % salts for hot keys
+    (broadcast hot-key set; no shuffle)."""
+    hot = np.sort(np.asarray(hot_keys, dtype=np.int64))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy()
+        if len(hot) == 0:
+            return batch.append_column(
+                salt_col, pa.array(np.zeros(len(keys), dtype=np.int64)))
+        pos = np.searchsorted(hot, keys)
+        pos_c = np.minimum(pos, len(hot) - 1)
+        is_hot = hot[pos_c] == keys
+        # cheap per-row deterministic hash for the salt
+        h = (np.arange(len(keys), dtype=np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15) + keys.astype(np.uint64))
+        with np.errstate(over="ignore"):
+            h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        salt = np.where(is_hot, (h % np.uint64(salts)).astype(np.int64), 0)
+        return batch.append_column(salt_col, pa.array(salt, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def salted_count(ds, key_col: str, *, salts: int = 16,
+                 sample_fraction: float = 0.05):
+    """Per-key row counts with hot keys counted via salted sub-keys then
+    re-combined (the canonical salted-shuffle shape)."""
+    from .agg import tree_sum
+
+    hot, _ = detect_hot_keys(ds, key_col, sample_fraction=sample_fraction)
+    salted = add_salt(ds, key_col, hot, salts=salts)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, "salt"])
+        g = t.group_by([key_col, "salt"]).aggregate([([], "count_all")])
+        return g.rename_columns([key_col, "salt", "n"])
+
+    part = salted.map_batches(partial, batch_format="pyarrow")
+    sub = tree_sum(part, [key_col, "salt"], ["n"])  # salted sub-aggregate
+
+    def drop_salt(batch: pa.Table) -> pa.Table:
+        return batch.select([key_col, "n"])
+
+    return tree_sum(sub.map_batches(drop_salt, batch_format="pyarrow"),
+                    [key_col], ["n"])

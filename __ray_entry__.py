@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": Q.q_dedup_exact,
         "text_stats": Q.q_text_stats,
         "sessionize": Q.q_sessionize,
+        "window_agg": Q.q_window_agg,
         "ngram_jaccard": Q.q_ngram_jaccard,
         "minhash_lsh": Q.q_minhash_lsh,
         "simhash": Q.q_simhash,

@@ -471,6 +471,7 @@ def q_grid_sample(sf_dir: str):
 
 
 NGRAM_TAU = 0.7
+NGRAM_MAX_DF = 50
 ANN_K = 10
 ANN_NQUERIES = 5
 NEARDUP_TAU = 0.42
@@ -485,7 +486,7 @@ def q_ngram_jaccard(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    return ngram_jaccard_pairs(ds, threshold=NGRAM_TAU)
+    return ngram_jaccard_pairs(ds, threshold=NGRAM_TAU, max_df=NGRAM_MAX_DF)
 
 
 def q_minhash_lsh(sf_dir: str):
@@ -629,6 +630,38 @@ def q_lang_id(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+WINDOW_US = 3600 * 1_000_000
+
+
+def q_window_agg(sf_dir: str):
+    """Tumbling-window aggregate over the events stream: per event_type
+    per hour, count + integer value sum (partial per batch + tree
+    combine — the streaming-friendly windowed aggregation shape)."""
+    import ray.data
+
+    from ..stages.agg import tree_sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        window = (ts // WINDOW_US) * WINDOW_US
+        cents = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "window_us": pa.array(window),
+            "n": pa.array(np.ones(len(ts), dtype=np.int64)),
+            "sum_cents": pa.array(cents),
+        })
+        g = t.group_by(["event_type", "window_us"]).aggregate(
+            [("n", "sum"), ("sum_cents", "sum")])
+        return g.rename_columns(["event_type", "window_us", "n", "sum_cents"])
+
+    return tree_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["event_type", "window_us"], ["n", "sum_cents"])
+
+
 SESSION_GAP_US = 1800 * 1_000_000
 
 
@@ -761,11 +794,13 @@ SELECT l_orderkey, l_linenumber,
 FROM pts
 """,
         "ngram_jaccard": f"""
-WITH g AS (
+WITH g0 AS (
   SELECT DISTINCT doc_id, sh
   FROM (SELECT doc_id,
                unnest([substr(text, g, 3) FOR g IN range(1, length(text)-1)]) AS sh
         FROM documents)),
+rare AS (SELECT sh FROM g0 GROUP BY sh HAVING COUNT(*) <= {NGRAM_MAX_DF}),
+g AS (SELECT g0.doc_id, g0.sh FROM g0 JOIN rare USING (sh)),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
@@ -806,6 +841,13 @@ FROM documents
 """,
         "doc_fingerprint": """
 SELECT doc_id, md5(text) AS fp FROM documents
+""",
+        "window_agg": f"""
+SELECT event_type,
+       (epoch_us(ts) // {WINDOW_US}) * {WINDOW_US} AS window_us,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2
 """,
         "sessionize": f"""
 WITH o AS (

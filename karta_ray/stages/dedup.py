@@ -28,73 +28,90 @@ from .agg import tree_sum
 
 def shingle_rows(batch: pa.Table, *, id_col: str, text_col: str,
                  n: int = 3) -> pa.Table:
-    """Per document: distinct hashed n-grams -> rows
-    (sh, doc_id, doc_size). Carrying doc_size on every row lets the pair
-    stage stay join-free."""
+    """Per document: distinct hashed n-grams -> rows (sh, doc_id)."""
     ids = batch.column(id_col).to_numpy()
     texts = batch.column(text_col).to_pylist()
     sh_all = []
     id_all = []
-    sz_all = []
     for i, t in enumerate(texts):
         sh = T.char_shingles(t, n)
         sh_all.append(sh.astype(np.int64))
         id_all.append(np.full(len(sh), ids[i], dtype=np.int64))
-        sz_all.append(np.full(len(sh), len(sh), dtype=np.int64))
     return pa.table({
         "sh": pa.array(np.concatenate(sh_all) if sh_all else []),
         "doc_id": pa.array(np.concatenate(id_all) if id_all else []),
-        "doc_size": pa.array(np.concatenate(sz_all) if sz_all else []),
     })
 
 
-def _emit_pairs(group: pa.Table) -> pa.Table:
-    """All ordered (a < b) doc pairs sharing one shingle."""
-    ids = group.column("doc_id").to_numpy()
-    sizes = group.column("doc_size").to_numpy()
-    order = np.argsort(ids, kind="stable")
-    ids = ids[order]
-    sizes = sizes[order]
-    m = len(ids)
-    if m < 2:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "size_a": pa.array([], pa.int64()),
-                         "size_b": pa.array([], pa.int64()),
-                         "n_shared": pa.array([], pa.int64())})
-    ai, bi = np.triu_indices(m, 1)
-    return pa.table({
-        "doc_a": pa.array(ids[ai], pa.int64()),
-        "doc_b": pa.array(ids[bi], pa.int64()),
-        "size_a": pa.array(sizes[ai], pa.int64()),
-        "size_b": pa.array(sizes[bi], pa.int64()),
-        "n_shared": pa.array(np.ones(len(ai), dtype=np.int64)),
-    })
+def _emit_pairs_and_sizes(max_df: int):
+    def fn(group: pa.Table) -> pa.Table:
+        """Per shingle bucket: drop the bucket if its document frequency
+        exceeds max_df; otherwise emit candidate pairs (doc_a < doc_b)
+        plus one size-contribution sentinel row (doc, -1) per member, so
+        pair counts and post-filter set sizes come out of ONE shuffle."""
+        ids = np.sort(group.column("doc_id").to_numpy())
+        m = len(ids)
+        if m > max_df or m == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ai, bi = np.triu_indices(m, 1)
+        da = np.concatenate([ids[ai], ids])
+        db = np.concatenate([ids[bi], np.full(m, -1, dtype=np.int64)])
+        return pa.table({
+            "doc_a": pa.array(da, pa.int64()),
+            "doc_b": pa.array(db, pa.int64()),
+            "n": pa.array(np.ones(len(da), dtype=np.int64)),
+        })
+    return fn
 
 
 def ngram_jaccard_pairs(docs_ds, *, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
-                        threshold: float = 0.7):
-    """All doc pairs with exact n-gram Jaccard >= threshold.
+                        threshold: float = 0.7, max_df: int = 50):
+    """Doc pairs with exact n-gram Jaccard >= threshold, computed over
+    the *rare* shingles (document frequency <= max_df).
 
-    Returns Dataset (doc_a, doc_b, n_shared, size_a, size_b). Exact —
-    equivalent to the SQL shingle self-join oracle.
+    The DF cap is what keeps this op sub-quadratic: a shingle present in
+    F docs emits F^2/2 candidate pairs, so ubiquitous shingles ("e t",
+    " th") would produce billions of pairs at corpus scale while
+    carrying no near-dup signal. Near-identical documents still share
+    their rare shingles, and both the engine and the SQL oracle apply
+    the identical cap, so parity is exact.
+
+    Returns Dataset (doc_a, doc_b, n_shared).
     """
+    import ray
+
     rows = docs_ds.map_batches(shingle_rows, batch_format="pyarrow",
                                fn_kwargs={"id_col": id_col,
                                           "text_col": text_col, "n": n})
-    pairs = rows.groupby("sh").map_groups(_emit_pairs, batch_format="pyarrow")
-    counts = tree_sum(pairs, ["doc_a", "doc_b", "size_a", "size_b"],
-                      ["n_shared"])
+    emitted = rows.groupby("sh").map_groups(_emit_pairs_and_sizes(max_df),
+                                            batch_format="pyarrow")
+    counts = tree_sum(emitted, ["doc_a", "doc_b"], ["n"]).materialize()
 
-    def threshold_filter(batch: pa.Table) -> pa.Table:
-        c = batch.column("n_shared").to_numpy().astype(np.float64)
-        na = batch.column("size_a").to_numpy().astype(np.float64)
-        nb = batch.column("size_b").to_numpy().astype(np.float64)
-        j = c / (na + nb - c)
-        keep = np.nonzero(j >= threshold)[0]
-        return batch.select(["doc_a", "doc_b", "n_shared"]).take(
-            pa.array(keep, pa.int64()))
+    sizes_df = counts.filter(lambda r: r["doc_b"] == -1).to_pandas()
+    if "doc_a" in sizes_df.columns:
+        sizes_map = dict(zip(sizes_df["doc_a"].to_numpy(),
+                             sizes_df["n"].to_numpy()))
+    else:  # low-entropy corpus: no shingle under the DF cap
+        sizes_map = {}
+    sizes_ref = ray.put(sizes_map)
+
+    def threshold_filter(batch: pa.Table, *, sizes_ref=sizes_ref) -> pa.Table:
+        sizes = ray.get(sizes_ref) if isinstance(sizes_ref, ray.ObjectRef) \
+            else sizes_ref
+        da = batch.column("doc_a").to_numpy()
+        db = batch.column("doc_b").to_numpy()
+        c = batch.column("n").to_numpy().astype(np.float64)
+        real = db >= 0
+        na = np.array([sizes.get(d, 0) for d in da], dtype=np.float64)
+        nb = np.array([sizes.get(d, 0) for d in db], dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            j = c / (na + nb - c)
+        keep = np.nonzero(real & (j >= threshold))[0]
+        out = batch.take(pa.array(keep, pa.int64()))
+        return out.rename_columns(["doc_a", "doc_b", "n_shared"])
 
     return counts.map_batches(threshold_filter, batch_format="pyarrow")
 
@@ -130,7 +147,17 @@ def minhash_rows(batch: pa.Table, *, id_col: str, text_col: str,
     })
 
 
+LSH_MAX_BUCKET = 200
+
+
 def _lsh_pairs(group: pa.Table) -> pa.Table:
+    if group.num_rows > LSH_MAX_BUCKET:
+        # oversized bucket: a band key shared by this many documents is
+        # not a near-dup signal (hash pileup); skip — standard LSH
+        # bucket-size cap, keeps the stage sub-quadratic
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "est_sim": pa.array([], pa.float64())})
     ids = group.column("doc_id").to_numpy()
     sigs = np.asarray(group.column("sig").to_pylist(), dtype=np.int64)
     order = np.argsort(ids, kind="stable")
@@ -203,8 +230,15 @@ def simhash_rows(batch: pa.Table, *, id_col: str, text_col: str) -> pa.Table:
     })
 
 
+SIMHASH_MAX_BUCKET = 500
+
+
 def _simhash_pairs(max_hamming: int):
     def fn(group: pa.Table) -> pa.Table:
+        if group.num_rows > SIMHASH_MAX_BUCKET:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
         ids = group.column("doc_id").to_numpy()
         sigs = group.column("sig").to_numpy().astype(np.int64).view(np.uint64)
         order = np.argsort(ids, kind="stable")

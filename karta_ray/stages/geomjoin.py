@@ -1,0 +1,121 @@
+"""Geometry-set joins: line/polygon members vs a target geometry.
+
+Distributed analogue of the reference's R-tree-backed multipart queries
+(karta/vector/geometry.py:1496-1544):
+
+- ``touching(target=Line)``    member kept iff target intersects member
+- ``touching(target=Polygon)`` member kept iff polygon contains the
+  member's first vertex OR intersects it
+- ``within(target=Polygon)``   member kept iff polygon contains the
+  member's first vertex AND does not intersect it (strict containment)
+
+The member sets are Datasets of rows
+``(geom_id, kind, vertices list<fixed_size_list<f64, 2>>)``;
+the target is broadcast. bbox prefilter (touching-counts-as-overlap,
+intersection.pyx:21-39) then the exact planar/spherical predicate —
+identical candidate->exact structure, so results match the reference
+row-for-row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..kernels import predicates as P
+
+
+def members_table(vertex_arrays, kind: str = "line",
+                  start_id: int = 0) -> pa.Table:
+    """Build a member-geometry Arrow table from (n_i, 2) vertex arrays."""
+    ids = []
+    verts = []
+    for i, v in enumerate(vertex_arrays):
+        v = np.asarray(v, dtype=np.float64).reshape(-1, 2)
+        ids.append(start_id + i)
+        verts.append(v.tolist())
+    return pa.table({
+        "geom_id": pa.array(ids, pa.int64()),
+        "kind": pa.array([kind] * len(ids), pa.string()),
+        "vertices": pa.array(verts, pa.list_(pa.list_(pa.float64(), 2))),
+    })
+
+
+def _member_arrays(batch: pa.Table):
+    col = batch.column("vertices").to_pylist()
+    return [np.asarray(v, dtype=np.float64) for v in col]
+
+
+class _GeomJoin:
+    """map_batches stage testing members against one broadcast target."""
+
+    def __init__(self, target_ref, mode: str, geographical: bool = False):
+        t = ray.get(target_ref) if isinstance(target_ref, ray.ObjectRef) else target_ref
+        self.target = np.asarray(t["verts"], dtype=np.float64)
+        self.target_kind = t["kind"]
+        self.mode = mode
+        self.geographical = geographical
+        if geographical:
+            self.tbbox = P.bbox_geographical(
+                self.target, ring=(self.target_kind == "polygon"))
+        else:
+            self.tbbox = P.bbox_planar(self.target)
+
+    def _exact(self, member: np.ndarray, member_kind: str) -> bool:
+        ring_m = member_kind == "polygon"
+        ring_t = self.target_kind == "polygon"
+        if self.geographical:
+            inter = P.intersects_sph(self.target, member,
+                                     ring_a=ring_t, ring_b=ring_m)
+        else:
+            inter = P.intersects_planar(self.target, member,
+                                        ring_a=ring_t, ring_b=ring_m)
+        if self.mode == "touching":
+            if ring_t:
+                # polygon target: contains(first vertex) or intersects
+                inside = P.points_in_polygon(
+                    member[:1, 0], member[:1, 1], [self.target],
+                    geographical=self.geographical)[0]
+                return bool(inside or inter)
+            return bool(inter)
+        # within: contains(first vertex) and not intersects
+        inside = P.points_in_polygon(
+            member[:1, 0], member[:1, 1], [self.target],
+            geographical=self.geographical)[0]
+        return bool(inside and not inter)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        members = _member_arrays(batch)
+        kinds = batch.column("kind").to_pylist()
+        keep = []
+        for i, m in enumerate(members):
+            mb = P.bbox_planar(m)
+            if not P.bboxes_overlap(self.tbbox, mb):
+                continue
+            if self._exact(m, kinds[i]):
+                keep.append(i)
+        return batch.take(pa.array(keep, pa.int64()))
+
+
+def geom_join(members_ds, target_verts, *, target_kind: str, mode: str,
+              geographical: bool = False):
+    """members Dataset x broadcast target geometry -> passing members."""
+    ref = ray.put({"verts": np.asarray(target_verts, dtype=np.float64),
+                   "kind": target_kind})
+    return members_ds.map_batches(
+        _GeomJoin,
+        fn_constructor_kwargs={"target_ref": ref, "mode": mode,
+                               "geographical": geographical},
+        batch_format="pyarrow", concurrency=(1, 8), zero_copy_batch=True)
+
+
+def touching(members_ds, target_verts, target_kind: str, **kw):
+    return geom_join(members_ds, target_verts, target_kind=target_kind,
+                     mode="touching", **kw)
+
+
+def within(members_ds, target_verts, **kw):
+    return geom_join(members_ds, target_verts, target_kind="polygon",
+                     mode="within", **kw)

@@ -1,0 +1,70 @@
+"""Seeded multipart-join conformance goldens
+(/root/reference/tests/vector_predicate_tests.py:223-281): exact result
+COUNTS for touching/within with np.random.seed(49) geometry sets."""
+
+import numpy as np
+import pytest
+
+from karta_ray.stages.geomjoin import members_table, touching, within
+
+
+def seeded_multiline():
+    np.random.seed(49)
+    return [10 * np.random.rand(10, 2) + np.random.randint(-50, 50, (1, 2))
+            for _ in range(50)]
+
+
+def seeded_multipolygon(size):
+    np.random.seed(49)
+    base = np.array([[0, 0], [size, 0], [size, size], [0, size]], dtype=float)
+    return [base + np.random.randint(-50, 50, (1, 2)) for _ in range(50)]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSeededGoldens:
+    def _ds(self, arrays, kind):
+        import ray.data
+
+        return ray.data.from_arrow(members_table(arrays, kind=kind))
+
+    def test_multiline_touching_line(self):
+        # vector_predicate_tests.py:223-230 -> 4
+        ds = self._ds(seeded_multiline(), "line")
+        line = np.array([(-30.0, -40.0), (11.0, -30.0), (10.0, 22.0),
+                         (-10.0, 50.0)])
+        assert touching(ds, line, "line").count() == 4
+
+    def test_multipolygon_touching_line(self):
+        # vector_predicate_tests.py:232-241 -> 10
+        ds = self._ds(seeded_multipolygon(10), "polygon")
+        line = np.array([(-40.0, -35.0), (-15.0, -30.0), (30.0, 5.0),
+                         (10.0, 32.0), (-15.0, 17.0)])
+        assert touching(ds, line, "line").count() == 10
+
+    def test_multiline_touching_poly(self):
+        # vector_predicate_tests.py:243-250 -> 12
+        ds = self._ds(seeded_multiline(), "line")
+        poly = np.array([(-30.0, -40.0), (12.0, -30.0), (8.0, 22.0),
+                         (-10.0, 50.0)])
+        assert touching(ds, poly, "polygon").count() == 12
+
+    def test_multipolygon_touching_poly(self):
+        # vector_predicate_tests.py:252-261 -> 14
+        ds = self._ds(seeded_multipolygon(3), "polygon")
+        poly = np.array([(-30.0, -40.0), (12.0, -30.0), (8.0, 22.0),
+                         (-10.0, 50.0)])
+        assert touching(ds, poly, "polygon").count() == 14
+
+    def test_multiline_within_poly(self):
+        # vector_predicate_tests.py:263-270 -> 8
+        ds = self._ds(seeded_multiline(), "line")
+        poly = np.array([(-30.0, -40.0), (12.0, -30.0), (8.0, 22.0),
+                         (-10.0, 50.0)])
+        assert within(ds, poly).count() == 8
+
+    def test_multipolygon_within_poly(self):
+        # vector_predicate_tests.py:272-281 -> 8
+        ds = self._ds(seeded_multipolygon(3), "polygon")
+        poly = np.array([(-30.0, -40.0), (12.0, -30.0), (8.0, 22.0),
+                         (-10.0, 50.0)])
+        assert within(ds, poly).count() == 8

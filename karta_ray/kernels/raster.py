@@ -114,6 +114,82 @@ def bin_mean(x, y, z, transform, shape=None, nodata=np.nan):
     return out.reshape(ny, nx), counts.reshape(ny, nx)
 
 
+def grid_merge(grids, weights=None, nodata=np.nan):
+    """Mosaic of integer-translated grids with weighted means where they
+    overlap, nodata where none covers (karta ``raster.merge``,
+    grid.py:1141-1231).
+
+    ``grids``: list of (values, transform); values (ny, nx) or
+    (ny, nx, bands). Returns (values, transform).
+    """
+    T = tuple(grids[0][1])
+    dx, dy = T[2], T[3]
+    for i, (_, t) in enumerate(grids[1:]):
+        if tuple(t[2:6]) != T[2:6]:
+            raise ValueError(f"grid {i + 2} stretch/skew mismatch")
+        if ((t[0] - T[0]) / dx) % 1 > 1e-15 or ((t[1] - T[1]) / dy) % 1 > 1e-15:
+            raise ValueError(f"grid {i + 2} not an integer translation")
+
+    if weights is None:
+        weights = np.ones(len(grids))
+    weights = np.asarray(weights, dtype=np.float64)
+    weights = weights * len(weights) / weights.sum()
+
+    def extent(values, t):
+        ny, nx = values.shape[:2]
+        return (t[0], t[0] + nx * dx, t[1], t[1] + ny * dy)
+
+    xmin = min(extent(v, t)[0] for v, t in grids)
+    xmax = max(extent(v, t)[1] for v, t in grids)
+    ymin = min(extent(v, t)[2] for v, t in grids)
+    ymax = max(extent(v, t)[3] for v, t in grids)
+    nx = int(round((xmax - xmin) / dx))
+    ny = int(round((ymax - ymin) / dy))
+
+    first = np.asarray(grids[0][0], dtype=np.float64)
+    nbands = 1 if first.ndim == 2 else first.shape[2]
+    out = np.empty((ny, nx, nbands))
+    for b in range(nbands):
+        acc = np.zeros((ny, nx))
+        cnt = np.zeros((ny, nx))
+        for (v, t), w in zip(grids, weights):
+            v = np.asarray(v, dtype=np.float64)
+            band = v if v.ndim == 2 else v[:, :, b]
+            gy, gx = band.shape
+            offx = int((t[0] - xmin) / dx)
+            offy = int((t[1] - ymin) / dy)
+            mask = (band != nodata) if not np.isnan(nodata) else ~np.isnan(band)
+            acc[offy:offy + gy, offx:offx + gx][mask] += band[mask] * w
+            cnt[offy:offy + gy, offx:offx + gx][mask] += w
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out[:, :, b] = np.where(cnt != 0, acc / np.maximum(cnt, 1e-300),
+                                    nodata)
+    if nbands == 1:
+        out = out[:, :, 0]
+    return out, (xmin, ymin) + T[2:]
+
+
+def grid_minmax(values, nodata=np.nan):
+    """Nodata-masked extrema (karta grid.py:26-48)."""
+    v = np.asarray(values, dtype=np.float64)
+    mask = ~np.isnan(v) if np.isnan(nodata) else v != nodata
+    if not mask.any():
+        return (np.nan, np.nan)
+    return (float(v[mask].min()), float(v[mask].max()))
+
+
+def data_extent(values, transform, nodata=np.nan):
+    """bbox (xmin, ymin, xmax, ymax) of pixel centers holding data
+    (karta grid.py:389-463)."""
+    v = np.asarray(values, dtype=np.float64)
+    mask = ~np.isnan(v) if np.isnan(nodata) else v != nodata
+    if not mask.any():
+        return (np.nan, np.nan, np.nan, np.nan)
+    ii, jj = np.nonzero(mask)
+    x, y = world_coords(transform, ii, jj)
+    return (float(x.min()), float(y.min()), float(x.max()), float(y.max()))
+
+
 def clip(values, transform, xmin, ymin, xmax, ymax):
     """Sub-grid covering the world bbox (karta ``Grid.clip``,
     grid.py:525-562): keep pixels whose centers fall inside."""

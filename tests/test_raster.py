@@ -232,3 +232,42 @@ class TestTiledStages:
             assert row["mean"] == pytest.approx(
                 want[int(row.gi), int(row.gj)], abs=1e-9)
         assert got["n"].sum() == counts.sum()
+
+
+class TestMerge:
+    def test_merge(self):
+        # grid_tests.py:126-133
+        g1 = (np.ones([8, 8]), (10, 20, 1, 1, 0, 0))
+        g2 = (2 * np.ones([4, 6]), (7, 22, 1, 1, 0, 0))
+        g3 = (3 * np.ones([5, 5]), (12, 15, 1, 1, 0, 0))
+        vals, T = RK.grid_merge([g1, g2, g3])
+        assert T == (7.0, 15.0, 1.0, 1.0, 0.0, 0.0)
+        assert vals.shape == (13, 11)
+        assert int(np.sum(np.isnan(vals))) == 42
+
+    def test_merge_weighted(self):
+        # grid_tests.py:135-143
+        g1 = (np.ones([8, 8]), (10, 20, 1, 1, 0, 0))
+        g2 = (2 * np.ones([4, 6]), (7, 22, 1, 1, 0, 0))
+        g3 = (3 * np.ones([5, 5]), (12, 19, 1, 1, 0, 0))
+        vals, T = RK.grid_merge([g1, g2, g3], weights=[1, 2, 3])
+        assert vals[4, 4] == pytest.approx(1.66666666666)
+        assert vals[2, 8] == pytest.approx(2.5)
+        assert vals[4, 5] == pytest.approx(2.33333333333)
+
+    def test_merge_multiband(self):
+        # grid_tests.py:144-153
+        a = (np.array([1, 2, 3]) * np.ones((16, 16, 3)), (0, 0, 1, 1, 0, 0))
+        b = (np.array([2, 3, 4]) * np.ones((16, 16, 3)), (4, 4, 1, 1, 0, 0))
+        vals, T = RK.grid_merge([a, b])
+        assert np.nansum(vals[:, :, 0]) == 552
+        assert np.nansum(vals[:, :, 1]) == 920
+        assert np.nansum(vals[:, :, 2]) == 1288
+
+    def test_minmax_extent(self):
+        v = np.full((4, 4), np.nan)
+        v[1, 2] = 5.0
+        v[2, 1] = -1.0
+        assert RK.grid_minmax(v) == (-1.0, 5.0)
+        xmin, ymin, xmax, ymax = RK.data_extent(v, (0, 0, 1, 1, 0, 0))
+        assert (xmin, ymin, xmax, ymax) == (1.5, 1.5, 2.5, 2.5)

@@ -50,6 +50,33 @@ def flagship_from_documents(sf_dir: str, *, zoom: int = 7):
     return flagship_pipeline(pages, zoom=zoom, concurrency=(1, 4))
 
 
+def flagship_checkpointed(pages_dir: str, ckpt_root: str, *, zoom: int = 7,
+                          polyset=None):
+    """Flagship pipeline with per-stage parquet checkpoints + manifests
+    (resume skips completed stages; see pipelines/manifest.py).
+
+    Stages: extract (pages -> url/lon/lat, html shed) -> cells -> join ->
+    aggregate. Returns (aggregate Dataset, CheckpointedPipeline).
+    """
+    import ray.data
+
+    from ..stages.join import pip_join
+    from .manifest import CheckpointedPipeline
+
+    if polyset is None:
+        polyset = synth.admin_polygons()
+    pipe = CheckpointedPipeline(ckpt_root)
+
+    pipe.stage("extract", lambda _: ray.data.read_parquet(
+        pages_dir, columns=["url", "html"]).map_batches(
+            extract_geotag_stage, batch_format="pyarrow"))
+    pipe.stage("cells", lambda prev: prev.map_batches(
+        assign_cells, batch_format="pyarrow", fn_kwargs={"zoom": zoom}))
+    pipe.stage("join", lambda prev: pip_join(prev, polyset, zoom=zoom))
+    agg = pipe.stage("aggregate", lambda prev: flagship_aggregate(prev))
+    return agg, pipe
+
+
 def _partial_counts(batch: pa.Table) -> pa.Table:
     """Combiner: per-batch (poly_id, cell_id) counts, shrinking the
     shuffle input by ~batch_size/groups before the global groupby."""

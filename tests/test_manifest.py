@@ -71,3 +71,29 @@ class TestCheckpointResume:
         pipe2, _ = self._run(root, calls2)
         assert "s2" in calls2         # transform recomputed
         assert "s1" not in calls2     # ingest itself still resumed
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFlagshipCheckpointed:
+    def test_end_to_end_and_resume(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from karta_ray import synth
+        from karta_ray.pipelines.flagship import flagship_checkpointed
+
+        pages_dir = str(tmp_path / "pages")
+        os.makedirs(pages_dir)
+        pq.write_table(synth.pages_table(800), f"{pages_dir}/part0.parquet")
+
+        root = str(tmp_path / "ckpt")
+        agg1, pipe1 = flagship_checkpointed(pages_dir, root)
+        df1 = agg1.to_pandas().sort_values(["poly_id", "cell_id"]).reset_index(drop=True)
+        assert pipe1.executed == ["extract", "cells", "join", "aggregate"]
+        assert len(df1) > 0
+
+        # resume: everything served from checkpoints
+        agg2, pipe2 = flagship_checkpointed(pages_dir, root)
+        df2 = agg2.to_pandas().sort_values(["poly_id", "cell_id"]).reset_index(drop=True)
+        assert pipe2.executed == []
+        assert pipe2.skipped == ["extract", "cells", "join", "aggregate"]
+        assert df1.equals(df2)

@@ -119,3 +119,51 @@ def touching(members_ds, target_verts, target_kind: str, **kw):
 def within(members_ds, target_verts, **kw):
     return geom_join(members_ds, target_verts, target_kind="polygon",
                      mode="within", **kw)
+
+
+class _IntersectionPoints:
+    """map_batches stage: all intersection points of each member chain
+    with a broadcast target (karta ``intersections``,
+    geometry.py:698-723: brute-force segment pairs, half-open hit rule,
+    exact dedup on (x, y) unless keep_duplicates)."""
+
+    def __init__(self, target_ref, keep_duplicates: bool = False):
+        t = ray.get(target_ref) if isinstance(target_ref, ray.ObjectRef) else target_ref
+        self.target = np.asarray(t["verts"], dtype=np.float64)
+        self.ring_t = t["kind"] == "polygon"
+        self.keep_duplicates = keep_duplicates
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        members = _member_arrays(batch)
+        kinds = batch.column("kind").to_pylist()
+        ids = batch.column("geom_id").to_numpy()
+        out_id = []
+        out_x = []
+        out_y = []
+        for i, m in enumerate(members):
+            pts = P.intersections_planar(self.target, m, ring_a=self.ring_t,
+                                         ring_b=(kinds[i] == "polygon"))
+            if not self.keep_duplicates and len(pts):
+                pts = np.unique(pts, axis=0)
+            for x, y in pts:
+                out_id.append(int(ids[i]))
+                out_x.append(x)
+                out_y.append(y)
+        return pa.table({
+            "geom_id": pa.array(out_id, pa.int64()),
+            "x": pa.array(out_x, pa.float64()),
+            "y": pa.array(out_y, pa.float64()),
+        })
+
+
+def intersection_points(members_ds, target_verts, target_kind: str = "line",
+                        keep_duplicates: bool = False):
+    """All member x target intersection points -> Dataset
+    (geom_id, x, y)."""
+    ref = ray.put({"verts": np.asarray(target_verts, dtype=np.float64),
+                   "kind": target_kind})
+    return members_ds.map_batches(
+        _IntersectionPoints,
+        fn_constructor_kwargs={"target_ref": ref,
+                               "keep_duplicates": keep_duplicates},
+        batch_format="pyarrow", concurrency=(1, 8), zero_copy_batch=True)

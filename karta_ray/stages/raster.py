@@ -138,6 +138,22 @@ def stencil_stage(tiles_ds, kernel: str, *, res=(1.0, 1.0),
                                 zero_copy_batch=True)
 
 
+def apply_stage(tiles_ds, func):
+    """karta ``Grid.apply`` (grid.py:54-78): element-wise numpy UDF over
+    every tile — no halo needed, embarrassingly parallel."""
+    def apply(batch: pa.Table) -> pa.Table:
+        vals = []
+        for r in range(batch.num_rows):
+            block = _block(batch, r)
+            vals.append(np.ascontiguousarray(
+                func(block).astype(np.float64)).tobytes())
+        return batch.set_column(batch.schema.get_field_index("values"),
+                                "values", pa.array(vals, pa.binary()))
+
+    return tiles_ds.map_batches(apply, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
 class GridSampler:
     """map_batches stage sampling a broadcast grid at point rows."""
 

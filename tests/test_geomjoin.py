@@ -68,3 +68,39 @@ class TestSeededGoldens:
         poly = np.array([(-30.0, -40.0), (12.0, -30.0), (8.0, 22.0),
                          (-10.0, 50.0)])
         assert within(ds, poly).count() == 8
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIntersectionPoints:
+    def test_points(self):
+        from karta_ray.stages.geomjoin import intersection_points
+
+        members = members_table([
+            np.array([(0.0, 0.0), (3.0, 3.0)]),
+            np.array([(0.0, 1.0), (3.0, 1.0)]),
+            np.array([(10.0, 10.0), (11.0, 11.0)]),  # no crossing
+        ], kind="line")
+        import ray.data
+        ds = ray.data.from_arrow(members)
+        target = np.array([(0.0, 3.0), (3.0, 0.0)])
+        got = intersection_points(ds, target).to_pandas().sort_values("geom_id")
+        assert got["geom_id"].tolist() == [0, 1]
+        assert got[got.geom_id == 0][["x", "y"]].to_numpy().tolist() == [[1.5, 1.5]]
+        assert got[got.geom_id == 1][["x", "y"]].to_numpy().tolist() == [[2.0, 1.0]]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUnionLayers:
+    def test_field_intersection(self):
+        import pyarrow as pa
+        import ray.data
+
+        from karta_ray.stages.merge import union_layers
+
+        a = ray.data.from_arrow(pa.table({
+            "lon": [1.0], "lat": [2.0], "a_only": [9]}))
+        b = ray.data.from_arrow(pa.table({
+            "lon": [3.0], "lat": [4.0], "b_only": ["x"]}))
+        out = union_layers(a, b)
+        assert set(out.schema().names) == {"lon", "lat"}
+        assert out.count() == 2

@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": Q.q_text_stats,
         "sessionize": Q.q_sessionize,
         "window_agg": Q.q_window_agg,
+        "topk_users": Q.q_topk_users,
         "ngram_jaccard": Q.q_ngram_jaccard,
         "minhash_lsh": Q.q_minhash_lsh,
         "simhash": Q.q_simhash,

@@ -80,6 +80,8 @@ def run_headline(pages_dir: str) -> dict:
     for b in agg.iter_batches(batch_format="pyarrow"):
         rows += len(b)
     dt = time.perf_counter() - t0
+    if os.environ.get("GRAFT_BENCH_STATS"):
+        print(agg.stats(), file=sys.stderr)
     return {"sec": dt, "docs": n_docs, "docs_per_sec": n_docs / dt,
             "agg_rows": rows}
 

@@ -630,6 +630,29 @@ def q_lang_id(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+TOPK_USERS = 20
+
+
+def q_topk_users(sf_dir: str):
+    """Top-k users by event count (count aggregate -> global sort ->
+    limit; deterministic tiebreak by user_id)."""
+    import ray.data
+
+    from ..stages.agg import tree_sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "n"])
+
+    counts = tree_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["user_id"], ["n"])
+    top = counts.sort(["n", "user_id"], descending=[True, False])
+    return top.limit(TOPK_USERS)
+
+
 WINDOW_US = 3600 * 1_000_000
 
 
@@ -841,6 +864,10 @@ FROM documents
 """,
         "doc_fingerprint": """
 SELECT doc_id, md5(text) AS fp FROM documents
+""",
+        "topk_users": f"""
+WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+SELECT user_id, n FROM c ORDER BY n DESC, user_id LIMIT {TOPK_USERS}
 """,
         "window_agg": f"""
 SELECT event_type,

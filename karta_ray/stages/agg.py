@@ -17,26 +17,33 @@ from __future__ import annotations
 import pyarrow as pa
 
 
-def _make_combine(keys: list, sum_cols: list):
+def _make_combine(keys: list, col_aggs: list):
     def combine(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return batch
-        g = batch.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
-        # pyarrow names aggregated columns "<col>_sum"; restore the input
-        # names so the combine is idempotent (sum-of-sums)
-        rename = {f"{c}_sum": c for c in sum_cols}
+        g = batch.group_by(keys).aggregate([(c, a) for c, a in col_aggs])
+        # pyarrow names aggregated columns "<col>_<agg>"; restore the
+        # input names so the combine is idempotent (sum-of-sums,
+        # max-of-maxes, ...)
+        rename = {f"{c}_{a}": c for c, a in col_aggs}
         return g.rename_columns([rename.get(n, n) for n in g.column_names]) \
-                .select(keys + sum_cols)
+                .select(keys + [c for c, _ in col_aggs])
     return combine
 
 
-def tree_sum(ds, keys: list, sum_cols: list, *, fanout: int = 32):
-    """Combine a Dataset of partial rows (keys + summable int/float cols)
-    into one row per key group: per-block combine -> coalesce to
-    ``fanout`` blocks -> combine -> single block -> final combine."""
-    combine = _make_combine(keys, sum_cols)
+def tree_agg(ds, keys: list, col_aggs: list, *, fanout: int = 32):
+    """Combine a Dataset of partial rows into one row per key group with
+    associative per-column aggregations (``sum``/``max``/``min``):
+    per-block combine -> coalesce to ``fanout`` blocks -> combine ->
+    single block -> final combine."""
+    combine = _make_combine(keys, col_aggs)
     ds = ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.repartition(fanout)
     ds = ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.repartition(1)
     return ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tree_sum(ds, keys: list, sum_cols: list, *, fanout: int = 32):
+    """tree_agg specialization: every column summed."""
+    return tree_agg(ds, keys, [(c, "sum") for c in sum_cols], fanout=fanout)

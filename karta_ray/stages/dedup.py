@@ -196,9 +196,10 @@ def minhash_lsh_pairs(docs_ds, *, id_col: str = "doc_id",
         return batch.take(pa.array(keep, pa.int64()))
 
     cand = pairs.map_batches(thresh, batch_format="pyarrow")
-    # dedup identical pairs found in multiple bands
-    return cand.groupby(["doc_a", "doc_b"]).max("est_sim") \
-               .rename_columns(["doc_a", "doc_b", "est_sim"])
+    # dedup identical pairs found in multiple bands (tree combine, max)
+    from .agg import tree_agg
+
+    return tree_agg(cand, ["doc_a", "doc_b"], [("est_sim", "max")])
 
 
 # ---------------------------------------------------------------------------
@@ -270,5 +271,6 @@ def simhash_pairs(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
                                           "text_col": text_col})
     pairs = rows.groupby(["block", "key"]).map_groups(
         _simhash_pairs(max_hamming), batch_format="pyarrow")
-    return pairs.groupby(["doc_a", "doc_b"]).min("hamming") \
-                .rename_columns(["doc_a", "doc_b", "hamming"])
+    from .agg import tree_agg
+
+    return tree_agg(pairs, ["doc_a", "doc_b"], [("hamming", "min")])

@@ -1,0 +1,77 @@
+"""Property-based tests (hypothesis) for the kernel layer."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from karta_ray.kernels import geodesy, predicates, tiles
+
+lon_st = st.floats(min_value=-180.0, max_value=179.999999,
+                   allow_nan=False, allow_infinity=False)
+lat_st = st.floats(min_value=-85.0, max_value=85.0,
+                   allow_nan=False, allow_infinity=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon_st, lat_st, st.integers(min_value=0, max_value=20))
+def test_tile_pack_roundtrip(lon, lat, z):
+    x, y = tiles.tile_xy(lon, lat, z)
+    cell = tiles.pack_cell(np.int64(z), x, y)
+    z2, x2, y2 = tiles.unpack_cell(cell)
+    assert (int(z2), int(x2), int(y2)) == (z, int(x), int(y))
+    # the point lies inside its tile's bbox
+    xmin, ymin, xmax, ymax = tiles.tile_bbox(np.int64(z), x, y)
+    assert float(xmin) - 1e-9 <= lon <= float(xmax) + 1e-9
+    assert float(ymin) - 1e-9 <= lat <= float(ymax) + 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False))
+def test_reduce_deg_range(x):
+    r = float(geodesy.reduce_deg(x))
+    assert -180.0 <= r < 180.0
+    # equivalence mod 360
+    assert abs((x - r) % 360.0) < 1e-6 or abs((x - r) % 360.0 - 360.0) < 1e-6
+
+
+@settings(max_examples=100, deadline=None)
+@given(lon_st, lat_st, lon_st, lat_st)
+def test_sphere_distance_symmetry(lon1, lat1, lon2, lat2):
+    d1 = float(geodesy.sphere_distance(lon1, lat1, lon2, lat2))
+    d2 = float(geodesy.sphere_distance(lon2, lat2, lon1, lat1))
+    assert abs(d1 - d2) <= 1e-6 * max(d1, 1.0)
+    assert d1 >= 0
+    # no pair of surface points is farther than half the circumference
+    assert d1 <= np.pi * geodesy.SPHERE_RADIUS * (1 + 1e-12)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(
+    st.floats(min_value=-100, max_value=100, allow_nan=False),
+    st.floats(min_value=-100, max_value=100, allow_nan=False)),
+    min_size=3, max_size=12, unique=True))
+def test_winding_matches_naive(ring_pts):
+    ring = np.asarray(ring_pts, dtype=np.float64)
+    rng = np.random.RandomState(0)
+    px = rng.uniform(-110, 110, 200)
+    py = rng.uniform(-110, 110, 200)
+    got = predicates.points_in_ring(px, py, ring)
+
+    n = len(ring)
+    wn = np.zeros(len(px), np.int64)
+    for i in range(n):
+        x0, y0 = ring[i]
+        x1, y1 = ring[(i + 1) % n]
+        isl = (x1 - x0) * (py - y0) - (px - x0) * (y1 - y0)
+        wn += ((y0 <= py) & (py < y1) & (isl > 0)).astype(np.int64)
+        wn -= ((y0 > py) & (py >= y1) & (isl < 0)).astype(np.int64)
+    np.testing.assert_array_equal(got, wn != 0)
+
+
+@settings(max_examples=100, deadline=None)
+@given(lon_st, lat_st, st.floats(min_value=0, max_value=355, allow_nan=False),
+       st.floats(min_value=1.0, max_value=5e6, allow_nan=False))
+def test_sphere_forward_inverse_consistency(lon, lat, az, dist):
+    lon2, lat2, _ = geodesy.sphere_forward(lon, lat, az, dist)
+    _, _, d = geodesy.sphere_inverse(lon, lat, float(lon2), float(lat2))
+    assert abs(float(d) - dist) < max(2.0, 2e-5 * dist)

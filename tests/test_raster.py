@@ -271,3 +271,39 @@ class TestMerge:
         assert RK.grid_minmax(v) == (-1.0, 5.0)
         xmin, ymin, xmax, ymax = RK.data_extent(v, (0, 0, 1, 1, 0, 0))
         assert (xmin, ymin, xmax, ymax) == (1.5, 1.5, 2.5, 2.5)
+
+
+class TestClipResample:
+    def test_clip(self):
+        vals = np.arange(100, dtype=float).reshape(10, 10)
+        out, T = RK.clip(vals, T_UNIT, 2.0, 3.0, 7.0, 8.0)
+        # centers inside [2,7]x[3,8] -> cols 2..6, rows 3..7
+        assert out.shape == (5, 5)
+        assert T == (2.0, 3.0, 1.0, 1.0, 0.0, 0.0)
+        assert out[0, 0] == vals[3, 2]
+
+    def test_resample_nearest_identity(self):
+        vals = np.arange(64, dtype=float).reshape(8, 8)
+        out, T = RK.resample(vals, T_UNIT, 1.0, 1.0, method="nearest")
+        np.testing.assert_array_equal(out, vals)
+        assert T == T_UNIT
+
+    def test_resample_downsample(self):
+        vals = np.arange(64, dtype=float).reshape(8, 8)
+        out, T = RK.resample(vals, T_UNIT, 2.0, 2.0, method="nearest")
+        assert out.shape == (4, 4)
+        assert T == (0.0, 0.0, 2.0, 2.0, 0.0, 0.0)
+        # new centers at 1.0,3.0,... -> nearest original centers
+        assert out[0, 0] in (vals[0, 0], vals[0, 1], vals[1, 0], vals[1, 1])
+
+    def test_resample_bilinear_linear_surface(self):
+        jj, ii = np.meshgrid(np.arange(8), np.arange(8))
+        vals = (2.0 * jj + 3.0 * ii).astype(float)
+        out, T = RK.resample(vals, T_UNIT, 0.5, 0.5, method="bilinear")
+        # interior samples of a linear surface are exact
+        jj2, ii2 = np.meshgrid(np.arange(out.shape[1]), np.arange(out.shape[0]))
+        x, y = RK.world_coords(T, ii2, jj2)
+        want = 2.0 * (x - 0.5) + 3.0 * (y - 0.5)
+        inner = np.isfinite(out)
+        assert inner.sum() > 0.5 * out.size
+        np.testing.assert_allclose(out[inner], want[inner], atol=1e-9)

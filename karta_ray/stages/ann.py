@@ -176,6 +176,76 @@ def ann_ivf_topk(emb_ds, query_ids, query_mat, k: int = 10, *,
                                            batch_format="pyarrow")
 
 
+def _hyperplanes(dim: int, bits: int) -> np.ndarray:
+    rng = np.random.RandomState(7)
+    return rng.randn(bits, dim)
+
+
+def cosine_neardup_lsh(emb_ds, threshold: float, *, bits: int = 32,
+                       bands: int = 4, max_bucket: int = 512):
+    """Near-duplicate pairs via random-hyperplane LSH — the no-broadcast
+    scale path: signature -> band buckets -> within-bucket exact cosine.
+
+    Approximate (recall < 1 for moderate thresholds; near-certain for
+    true near-dups with cos >~ 0.95). Exact verification inside buckets,
+    dedup across bands with a tree combine.
+    """
+    rows_per_band = bits // bands
+    state = {"planes": None}  # lazily sized to the embedding dim per worker
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        emb = _normalize(_to_matrix(batch.column("embedding")))
+        if state["planes"] is None or state["planes"].shape[1] != emb.shape[1]:
+            state["planes"] = _hyperplanes(emb.shape[1], bits)
+        bitsm = (emb @ state["planes"].T) > 0  # (n, bits)
+        vid = batch.column("vec_id").to_numpy().astype(np.int64)
+        out_band = []
+        out_key = []
+        out_id = []
+        out_emb = []
+        for b in range(bands):
+            chunk = bitsm[:, b * rows_per_band:(b + 1) * rows_per_band]
+            key = (chunk.astype(np.int64)
+                   << np.arange(rows_per_band, dtype=np.int64)).sum(axis=1)
+            out_band.append(np.full(len(vid), b, dtype=np.int64))
+            out_key.append(key)
+            out_id.append(vid)
+            out_emb.extend(emb.tolist())
+        return pa.table({
+            "band": pa.array(np.concatenate(out_band)),
+            "key": pa.array(np.concatenate(out_key)),
+            "vec_id": pa.array(np.concatenate(out_id)),
+            "embedding": pa.array(out_emb),
+        })
+
+    rows = emb_ds.map_batches(sig_rows, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                          "vec_b": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if group.num_rows < 2 or group.num_rows > max_bucket:
+            return empty
+        vid = group.column("vec_id").to_numpy()
+        emb = np.asarray(group.column("embedding").to_pylist())
+        order = np.argsort(vid, kind="stable")
+        vid, emb = vid[order], emb[order]
+        sims = emb @ emb.T
+        ai, bi = np.triu_indices(len(vid), 1)
+        keep = (sims[ai, bi] >= threshold) & (vid[ai] != vid[bi])
+        return pa.table({
+            "vec_a": pa.array(vid[ai][keep], pa.int64()),
+            "vec_b": pa.array(vid[bi][keep], pa.int64()),
+            "sim": pa.array(sims[ai, bi][keep], pa.float64()),
+        })
+
+    pairs = rows.groupby(["band", "key"]).map_groups(bucket_pairs,
+                                                     batch_format="pyarrow")
+    from .agg import tree_agg
+
+    return tree_agg(pairs, ["vec_a", "vec_b"], [("sim", "max")])
+
+
 def cosine_neardup_pairs(emb_ds, full_ids, full_mat, threshold: float):
     """Exact all-pairs cosine >= threshold: each batch multiplies against
     the broadcast full (normalized) matrix; emit (a < b) pairs."""

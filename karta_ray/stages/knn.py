@@ -203,10 +203,141 @@ class KnnJoiner:
 def knn_join(left_ds, right_index: RightIndex, k: int, *,
              batch_size: int = 8192):
     """left Dataset (lon/lat/cell_id) x broadcast RightIndex -> k rows
-    per left row with (neighbor_id, rank, dist_m)."""
+    per left row with (neighbor_id, rank, dist_m).
+
+    Broadcast shape: right side must fit the object store. For big-big
+    joins use :func:`knn_join_coshuffle`.
+    """
     ref = ray.put(right_index)
     return left_ds.map_batches(
         KnnJoiner,
         fn_constructor_kwargs={"index_ref": ref, "k": k},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=(1, 8), zero_copy_batch=True)
+
+
+def knn_join_coshuffle(left_ds, right_ds, k: int, *, zoom: int,
+                       right_id_col: str = "right_id", ring: int = 1):
+    """Big-big kNN join with NO broadcast side: right rows are
+    replicated to their cell plus the ``ring`` of neighbor cells
+    (boundary-cell replication), both sides co-shuffle on cell_id, and
+    each cell group probes its local candidates.
+
+    Exactness: a left row is resolved in-cell iff its k-th candidate
+    distance is within the proven bound to unexplored tiles
+    (_explored_bound_m). The unresolved residue (points near cell
+    corners with sparse neighbors) is finished by a second, exact pass;
+    choose ``zoom`` so cells are much wider than typical kNN radii and
+    the residue is a vanishing fraction.
+
+    left_ds columns: lon/lat/cell_id (+ payload). right_ds columns:
+    right_id_col/lon/lat. Returns left payload + (neighbor_id, rank,
+    dist_m).
+    """
+    import ray.data
+
+    def replicate_right(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        rid = batch.column(right_id_col).to_numpy(zero_copy_only=False)
+        cells = tiles.cell_id(lon, lat, zoom)
+        nb = tiles.neighbor_cells(cells, ring=ring)  # (n, (2r+1)^2)
+        reps = nb.shape[1]
+        return pa.table({
+            "cell_id": pa.array(nb.ravel(), pa.int64()),
+            "rid": pa.array(np.repeat(rid, reps), pa.int64()),
+            "rlon": pa.array(np.repeat(lon, reps), pa.float64()),
+            "rlat": pa.array(np.repeat(lat, reps), pa.float64()),
+            "role": pa.array(np.zeros(len(rid) * reps, dtype=np.int8)),
+        })
+
+    right_rows = right_ds.map_batches(replicate_right, batch_format="pyarrow")
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "cell_id": batch.column("cell_id"),
+            "rid": batch.column("left_id"),
+            "rlon": batch.column("lon"),
+            "rlat": batch.column("lat"),
+            "role": pa.array(np.ones(n, dtype=np.int8)),
+        })
+
+    left_rows = left_ds.map_batches(tag_left, batch_format="pyarrow")
+    both = right_rows.union(left_rows)
+
+    def probe(group: pa.Table) -> pa.Table:
+        role = group.column("role").to_numpy()
+        lmask = role == 1
+        if not lmask.any():
+            return pa.table({"left_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64()),
+                             "dist_m": pa.array([], pa.float64()),
+                             "resolved": pa.array([], pa.bool_())})
+        rid = group.column("rid").to_numpy()
+        lon = group.column("rlon").to_numpy()
+        lat = group.column("rlat").to_numpy()
+        qid = rid[lmask]
+        qlon = lon[lmask]
+        qlat = lat[lmask]
+        # candidates: replicated right rows in this cell, deduplicated
+        cand_id = rid[~lmask]
+        cand_lon = lon[~lmask]
+        cand_lat = lat[~lmask]
+        uniq, ui = np.unique(cand_id, return_index=True)
+        cand_id, cand_lon, cand_lat = uniq, cand_lon[ui], cand_lat[ui]
+
+        cell = int(group.column("cell_id")[0].as_py())
+        z, x, y = (int(v) for v in tiles.unpack_cell(np.int64(cell)))
+        bound = _explored_bound_m(z, x, y, ring, qlon, qlat)
+
+        nq = len(qid)
+        if len(cand_id) == 0:
+            return pa.table({
+                "left_id": pa.array(qid, pa.int64()),
+                "neighbor_id": pa.array(np.full(nq, -1, dtype=np.int64)),
+                "rank": pa.array(np.full(nq, -1, dtype=np.int64)),
+                "dist_m": pa.array(np.full(nq, np.nan)),
+                "resolved": pa.array(np.zeros(nq, dtype=bool)),
+            })
+        d = _dist_sphere(qlon[:, None], qlat[:, None],
+                         cand_lon[None, :], cand_lat[None, :])
+        kk = min(k, len(cand_id))
+        order = np.lexsort(
+            (np.broadcast_to(cand_id, d.shape), d), axis=1)[:, :kk]
+        picked = cand_id[order]
+        dist = np.take_along_axis(d, order, axis=1)
+        resolved = (len(cand_id) >= k) & (dist[:, kk - 1] <= bound)
+        return pa.table({
+            "left_id": pa.array(np.repeat(qid, kk), pa.int64()),
+            "neighbor_id": pa.array(picked.ravel(), pa.int64()),
+            "rank": pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int64), nq)),
+            "dist_m": pa.array(dist.ravel(), pa.float64()),
+            "resolved": pa.array(np.repeat(resolved, kk)),
+        })
+
+    probed = both.groupby("cell_id").map_groups(
+        probe, batch_format="pyarrow").materialize()
+
+    resolved = probed.filter(lambda r: r["resolved"]).drop_columns(["resolved"])
+    unresolved_df = (probed.filter(lambda r: not r["resolved"])
+                     .select_columns(["left_id"]).to_pandas())
+    unresolved_ids = (set(unresolved_df["left_id"].unique().tolist())
+                      if "left_id" in unresolved_df.columns else set())
+    if not unresolved_ids:
+        return resolved
+
+    # residue pass: exact broadcast kNN for the few unresolved rows
+    rt = right_ds.select_columns([right_id_col, "lon", "lat"]).to_pandas()
+    index = RightIndex(rt[right_id_col].to_numpy(), rt["lon"].to_numpy(),
+                       rt["lat"].to_numpy(), zoom)
+    residue_left = left_ds.filter(
+        lambda r, ids=unresolved_ids: r["left_id"] in ids)
+    fixed = knn_join(residue_left, index, k)
+
+    def shape_fixed(batch: pa.Table) -> pa.Table:
+        return batch.select(["left_id", "neighbor_id", "rank", "dist_m"])
+
+    return resolved.union(fixed.map_batches(shape_fixed,
+                                            batch_format="pyarrow"))

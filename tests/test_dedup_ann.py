@@ -170,3 +170,27 @@ class TestAnn:
         got = cosine_neardup_pairs(ds, ids, mat, 0.95).to_pandas()
         pairs = set(zip(got.vec_a, got.vec_b))
         assert (3, 50) in pairs
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnnLsh:
+    def test_lsh_finds_planted_neardups(self):
+        import ray.data
+
+        from karta_ray.stages.ann import cosine_neardup_lsh
+
+        rng = np.random.RandomState(21)
+        mat = rng.randn(300, 32)
+        # planted near-identical pairs
+        mat[100] = mat[7] + 0.02 * rng.randn(32)
+        mat[200] = mat[45] + 0.02 * rng.randn(32)
+        ids = np.arange(300, dtype=np.int64)
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(ids), "embedding": pa.array(mat.tolist())}))
+        got = cosine_neardup_lsh(ds, 0.95).to_pandas()
+        pairs = set(zip(got.vec_a, got.vec_b))
+        assert (7, 100) in pairs and (45, 200) in pairs
+        # every reported pair truly exceeds the threshold
+        norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        for a, b in pairs:
+            assert norm[a] @ norm[b] >= 0.95

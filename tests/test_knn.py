@@ -72,3 +72,36 @@ class TestKnnExact:
                           "cell_id": pa.array(tiles.cell_id(qlon, qlat, 6))})
         out = make_joiner(index, 1)(batch)
         assert out.column("neighbor_id").to_pylist() == [11]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKnnCoshuffle:
+    def test_matches_brute_force(self):
+        import ray.data
+
+        from karta_ray.stages.knn import knn_join_coshuffle
+
+        rng = np.random.RandomState(11)
+        n_r, n_l, k = 400, 150, 3
+        rlon = rng.uniform(-60, 60, n_r)
+        rlat = rng.uniform(-50, 50, n_r)
+        rids = np.arange(5000, 5000 + n_r)
+        llon = rng.uniform(-55, 55, n_l)
+        llat = rng.uniform(-45, 45, n_l)
+        lids = np.arange(n_l)
+        zoom = 3  # large cells -> candidates dense, residue small
+
+        left = pa.table({"left_id": pa.array(lids),
+                         "lon": pa.array(llon), "lat": pa.array(llat),
+                         "cell_id": pa.array(tiles.cell_id(llon, llat, zoom))})
+        right = pa.table({"right_id": pa.array(rids),
+                          "lon": pa.array(rlon), "lat": pa.array(rlat)})
+        out = knn_join_coshuffle(ray.data.from_arrow(left),
+                                 ray.data.from_arrow(right),
+                                 k, zoom=zoom).to_pandas()
+        want = brute_knn(llon, llat, rids, rlon, rlat, k)
+        got = {}
+        for _, row in out.iterrows():
+            got.setdefault(int(row.left_id), {})[int(row["rank"])] = int(row.neighbor_id)
+        for q in range(n_l):
+            assert [got[q][r] for r in range(1, k + 1)] == want[q].tolist(), q

@@ -96,10 +96,27 @@ class PolygonSet:
 
     def contains(self, px, py, ip: int):
         """Exact membership of points vs polygon index ip, with karta's
-        per-ring polar dispatch and hole subtraction."""
+        per-ring polar dispatch and hole subtraction. The polar
+        azimuth-sum test uses the ring's own CRS inverse azimuth
+        (contains_proj calls crs.inverse, contains.pyx:57-63): spherical
+        formula for "spherical", Karney for "lonlat_wgs84"."""
         rings = self.rings_of(ip)
+        if self.crs[ip] == "lonlat_wgs84":
+            from .kernels import karney
+
+            def az_fn(x1, y1, x2, y2):
+                az, _, _ = karney.inverse_vec(
+                    karney.WGS84_A, karney.WGS84_B,
+                    *np.broadcast_arrays(x1, y1, x2, y2))
+                return az
+            azimuth_fn = az_fn
+        else:
+            from .kernels import geodesy
+
+            azimuth_fn = geodesy.sphere_azimuth
         return predicates.points_in_polygon(
-            px, py, rings, geographical=(self.crs[ip] != "cartesian"))
+            px, py, rings, geographical=(self.crs[ip] != "cartesian"),
+            azimuth_fn=azimuth_fn)
 
     def cell_cover(self, zoom: int):
         """dict cell_id -> np.ndarray of polygon indices whose bbox

@@ -51,6 +51,14 @@ def plane_azimuth(x1, y1, x2, y2):
     return np.arctan2(x2 - x1, y2 - y1)
 
 
+def plane_azimuth_deg(x1, y1, x2, y2):
+    """Point.azimuth semantics (karta/vector/geometry.py:142-178):
+    degrees in [-180, 180), NaN for coincident points."""
+    x1, y1, x2, y2 = (np.asarray(a, dtype=np.float64) for a in (x1, y1, x2, y2))
+    az = reduce_deg(np.degrees(plane_azimuth(x1, y1, x2, y2)))
+    return np.where((x1 == x2) & (y1 == y2), np.nan, az)
+
+
 # ---------------------------------------------------------------------------
 # Spherical
 # ---------------------------------------------------------------------------

@@ -175,3 +175,19 @@ class TestEllipsoidal:
         az, baz, d = karney.ellipsoidal_inverse(a, a * (1 - 1e-12),
                                                 32.0, -17.0, 38.0, 5.0)
         assert d == pytest.approx(2533567.302751705, rel=1e-6)
+
+
+class TestPlaneAzimuth:
+    def test_quadrants(self):
+        # geometry_tests.py:217-236
+        from karta_ray.kernels.geodesy import plane_azimuth_deg
+        cases = [((2.0, 3.0), 45.0), ((0.0, 3.0), -45.0),
+                 ((0.0, 1.0), -135.0), ((2.0, 1.0), 135.0),
+                 ((1.0, 3.0), 0.0), ((1.0, 1.0), -180.0)]
+        for (x, y), want in cases:
+            assert float(plane_azimuth_deg(1.0, 2.0, x, y)) == want
+
+    def test_nan_for_coincident(self):
+        # geometry_tests.py:238-242
+        from karta_ray.kernels.geodesy import plane_azimuth_deg
+        assert np.isnan(plane_azimuth_deg(5.0, 2.0, 5.0, 2.0))

@@ -221,6 +221,23 @@ def nearest_on_segment_geo(px, py, s0, s1, crs, tol=0.01, maxiter=100):
     return (float(xn), float(yn)), d
 
 
+def within_distance(px, py, verts, distance, crs=crsmod.Cartesian):
+    """Whether the point is within *distance* of every segment of the
+    chain (karta ``within_distance``, geometry.py:794-807: ``all`` over
+    per-segment shortest distances)."""
+    verts = np.asarray(verts, dtype=np.float64)
+    if crs.kind == "cartesian":
+        _, _, d = nearest_on_segments_planar(
+            float(px), float(py), verts[:-1, 0], verts[:-1, 1],
+            verts[1:, 0], verts[1:, 1])
+        return bool((distance >= d).all())
+    for i in range(len(verts) - 1):
+        _, d = nearest_on_segment_geo(px, py, verts[i, :2], verts[i + 1, :2], crs)
+        if d > distance:
+            return False
+    return True
+
+
 def nearest_on_chain(px, py, verts, crs=crsmod.Cartesian, tol=0.01):
     """Nearest position + distance on a chain for any CRS
     (karta ``nearest_on_boundary`` / ``shortest_distance_to``,

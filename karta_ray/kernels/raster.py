@@ -269,6 +269,16 @@ def divergence(U, V, res=(1.0, 1.0)):
             + np.pad(dV, ((1, 1), (0, 0)), "constant", constant_values=np.nan))
 
 
+def normed_potential_vectors(D, res=(1.0, 1.0)):
+    """(U, V) gradient field of potential D, normalized to the max
+    gradient magnitude (misc.py:132-165); NaN-padded."""
+    Ddx, Ddy = _ddx_ddy(D, res)
+    M = np.sqrt(Ddx ** 2 + Ddy ** 2)
+    mmax = M[~np.isnan(M)].max()
+    pad = lambda a: np.pad(a, 1, "constant", constant_values=np.nan)
+    return pad(Ddx / mmax), pad(Ddy / mmax)
+
+
 def hillshade(D, res=(1.0, 1.0), azimuth=330.0, elevation=60.0):
     """Hillshade with 2-98 percentile clip (misc.py:167-206)."""
     dzdx, dzdy = gradient(D, res)

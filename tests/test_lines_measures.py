@@ -180,3 +180,12 @@ class TestHull:
         idx = hull.convex_hull_sph(verts)
         got = [tuple(map(int, verts[i])) for i in idx]
         assert got == [(-50, 70), (0, 50), (50, 70)]
+
+
+class TestWithinDistance:
+    def test_golden(self):
+        # vector_predicate_tests.py:192-197
+        from karta_ray.kernels.lines import within_distance
+        verts = np.array([(0.0, 0.0), (1.0, 1.0), (3.0, 1.0)])
+        assert within_distance(1.0, 1.5, verts, 0.6)
+        assert not within_distance(1.0, 1.5, verts, 0.4)

@@ -307,3 +307,22 @@ class TestClipResample:
         inner = np.isfinite(out)
         assert inner.sum() > 0.5 * out.size
         np.testing.assert_allclose(out[inner], want[inner], atol=1e-9)
+
+
+class TestMoreStencils:
+    def test_divergence_linear_field(self):
+        jj, ii = np.meshgrid(np.arange(10), np.arange(10))
+        U = 2.0 * jj  # dU/dx = 2
+        V = 3.0 * ii  # dV/dy = 3
+        div = RK.divergence(U.astype(float), V.astype(float))
+        np.testing.assert_allclose(div[1:-1, 1:-1], 5.0)
+
+    def test_normed_potential_vectors(self):
+        jj, ii = np.meshgrid(np.arange(10), np.arange(10))
+        D = (2.0 * jj + 1.0 * ii).astype(float)
+        U, V = RK.normed_potential_vectors(D)
+        inner_u = U[1:-1, 1:-1]
+        inner_v = V[1:-1, 1:-1]
+        # gradient (2, 1), max magnitude sqrt(5) -> normalized components
+        np.testing.assert_allclose(inner_u, 2.0 / np.sqrt(5.0))
+        np.testing.assert_allclose(inner_v, 1.0 / np.sqrt(5.0))

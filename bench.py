@@ -147,6 +147,60 @@ def scaling_main():
     }))
 
 
+def micro_main():
+    """Single-core kernel microbenchmarks (no Ray): the closest
+    available analogue to the reference's benchmarks/ harnesses, which
+    print timings for construction/contains/nearest (the reference
+    itself cannot execute here — its coordstring/Cython deps are not
+    installed)."""
+    import numpy as np
+
+    from karta_ray.kernels import geodesy, predicates, tiles
+
+    rng = np.random.RandomState(0)
+    out = {}
+
+    n = 1_000_000
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-85, 85, n)
+    tiles.cell_id(lon, lat, 12)  # warm (first-touch page faults)
+    t0 = time.perf_counter()
+    tiles.cell_id(lon, lat, 12)
+    out["tile_assign_Mpts_per_s"] = round(n / (time.perf_counter() - t0) / 1e6, 2)
+
+    theta = np.linspace(0, 2 * np.pi, 361)[:-1]
+    ring = np.column_stack([np.cos(theta) * (10 * np.sin(theta * 8) + 15) + 25,
+                            np.sin(theta) * (10 * np.sin(theta * 8) + 15) + 25])
+    px = rng.uniform(0, 50, 200_000)
+    py = rng.uniform(0, 50, 200_000)
+    t0 = time.perf_counter()
+    predicates.points_in_ring(px, py, ring)
+    dt = time.perf_counter() - t0
+    out["pip_Medge_tests_per_s"] = round(len(px) * len(ring) / dt / 1e6, 1)
+
+    geodesy.sphere_distance(lon[:1000], lat[:1000], lon[:1000], lat[:1000])
+    t0 = time.perf_counter()
+    geodesy.sphere_distance(lon[:n // 2], lat[:n // 2], lon[n // 2:], lat[n // 2:])
+    out["sphere_dist_Mpts_per_s"] = round((n // 2) / (time.perf_counter() - t0) / 1e6, 2)
+
+    # gridpoints binning: the reference benchmark's exact configuration
+    # (benchmarks/benchmark_gridpoints.py:6-19 — 50k points in [0,1)^2,
+    # transform [0,0,0.01,0.01,0,0], 10 reps)
+    from karta_ray.kernels import raster as RK
+
+    x = rng.rand(50_000)
+    y = rng.rand(50_000)
+    z = (x - 0.5) ** 2 + (y - 0.2) ** 3 + 0.5 * rng.rand(50_000)
+    T = (0.0, 0.0, 0.01, 0.01, 0.0, 0.0)
+    RK.bin_mean(x, y, z, T)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        RK.bin_mean(x, y, z, T)
+    out["gridpoints_50k_x10_sec"] = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps({"metric": "kernel microbench (single core)", **out}))
+
+
 def main():
     import ray
 
@@ -173,5 +227,7 @@ if __name__ == "__main__":
         child_main(int(sys.argv[2]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         scaling_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--micro":
+        micro_main()
     else:
         main()

@@ -30,6 +30,109 @@ from ..geoms import PolygonSet
 DEFAULT_ZOOM = 7
 
 
+def _strtree_boxes(polyset: PolygonSet):
+    """Expand polygon bboxes into STRtree leaf boxes: dateline-crossing
+    bboxes (xmin > xmax) split into two boxes; polar polygons get a
+    full-longitude box down to their low-latitude edge (their lon/lat
+    bbox is meaningless around a pole). Returns (boxes, box_to_poly)."""
+    boxes = []
+    owner = []
+    for ip in range(len(polyset)):
+        xmin, ymin, xmax, ymax = polyset.bbox[ip]
+        if polyset.is_polar is not None and polyset.is_polar[ip]:
+            outer = polyset.rings_of(ip)[0]
+            if outer[:, 1].mean() > 0:
+                boxes.append((-180.0, ymin, 180.0, 90.0))
+            else:
+                boxes.append((-180.0, -90.0, 180.0, ymax))
+            owner.append(ip)
+        elif xmin > xmax:
+            boxes.append((xmin, ymin, 180.0, ymax))
+            owner.append(ip)
+            boxes.append((-180.0, ymin, xmax, ymax))
+            owner.append(ip)
+        else:
+            boxes.append((xmin, ymin, xmax, ymax))
+            owner.append(ip)
+    return np.asarray(boxes, dtype=np.float64), np.asarray(owner, dtype=np.int64)
+
+
+def prep_polygons_strtree(polyset: PolygonSet):
+    """Broadcastable join state with an STR-packed bbox tree prefilter
+    (the reference's R-tree analogue, state/strtree.py) instead of the
+    cell cover — useful when the polygon layer is queried without a cell
+    assignment or at many zooms."""
+    from ..state.strtree import STRtree
+
+    boxes, owner = _strtree_boxes(polyset)
+    return ray.put({"polys": polyset, "tree": STRtree(boxes),
+                    "box_owner": owner})
+
+
+class PolyJoinerSTR:
+    """PIP join stage probing an STRtree prefilter (bbox candidates ->
+    exact winding/polar test). Same results as the cell-cover joiner."""
+
+    def __init__(self, prep_ref, mode: str = "inner"):
+        prep = ray.get(prep_ref) if isinstance(prep_ref, ray.ObjectRef) else prep_ref
+        self.polys: PolygonSet = prep["polys"]
+        self.tree = prep["tree"]
+        self.box_owner = prep["box_owner"]
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        ok = ~(np.isnan(lon) | np.isnan(lat))
+        pt_idx, box_idx = self.tree.query_points(
+            np.where(ok, lon, 1e9), np.where(ok, lat, 1e9))
+        poly_idx = self.box_owner[box_idx]
+        # a dateline poly contributes two boxes; dedup (point, poly)
+        if len(pt_idx):
+            key = pt_idx * (len(self.polys) + 1) + poly_idx
+            _, ui = np.unique(key, return_index=True)
+            pt_idx, poly_idx = pt_idx[ui], poly_idx[ui]
+
+        hit_point = []
+        hit_poly = []
+        if len(pt_idx):
+            order = np.argsort(poly_idx, kind="stable")
+            pt_s, pl_s = pt_idx[order], poly_idx[order]
+            uniq, starts_u = np.unique(pl_s, return_index=True)
+            bounds = np.append(starts_u, len(pl_s))
+            for k, ip in enumerate(uniq):
+                idx = pt_s[bounds[k]:bounds[k + 1]]
+                mask = self.polys.contains(lon[idx], lat[idx], int(ip))
+                if mask.any():
+                    hit_point.append(idx[mask])
+                    hit_poly.append(np.full(int(mask.sum()), ip, dtype=np.int64))
+        if hit_point:
+            pts = np.concatenate(hit_point)
+            pls = np.concatenate(hit_poly)
+            o = np.lexsort((pls, pts))
+            pts, pls = pts[o], pls[o]
+        else:
+            pts = np.empty(0, dtype=np.int64)
+            pls = np.empty(0, dtype=np.int64)
+        out = batch.take(pa.array(pts, pa.int64()))
+        out = out.append_column(
+            "poly_id", pa.array(self.polys.poly_id[pls], pa.int64()))
+        return out.append_column(
+            "poly_name", pa.array([self.polys.name[i] for i in pls], pa.string()))
+
+
+def pip_join_strtree(points_ds, polyset: PolygonSet, *,
+                     concurrency=(1, 8), batch_size: int = 8192):
+    """PIP join via the STRtree prefilter held in an ACTOR POOL (state
+    built once per actor in __init__)."""
+    prep_ref = prep_polygons_strtree(polyset)
+    return points_ds.map_batches(
+        PolyJoinerSTR,
+        fn_constructor_kwargs={"prep_ref": prep_ref},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, zero_copy_batch=True)
+
+
 def prep_polygons(polyset: PolygonSet, zoom: int = DEFAULT_ZOOM):
     """Build the broadcastable join state and put it in the object store.
 

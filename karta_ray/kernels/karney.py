@@ -20,7 +20,7 @@ from math import atan, atan2, atanh, cos, pi, sin, sqrt, tan
 
 import numpy as np
 
-from .geodesy import _canonical_configuration, _vincenty_sphere, reduce_deg
+from .geodesy import _canonical_configuration, _vincenty_sphere
 
 WGS84_A = 6378137.0
 WGS84_B = 6356752.314245179  # a * (1 - 1/298.257223563)

@@ -16,7 +16,6 @@ from __future__ import annotations
 import numpy as np
 
 from .. import crs as crsmod
-from . import geodesy
 
 
 def _dist_az_walk(crs):

@@ -19,7 +19,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..kernels import geodesy, predicates, tiles
+from ..kernels import geodesy, predicates
 from ..geoms import PolygonSet
 
 ZOOM = 8
@@ -630,6 +630,31 @@ def q_lang_id(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def q_props_extract(sf_dir: str):
+    """Semi-structured extraction: parse the events ``props`` JSON
+    column, aggregate the extracted field per event type."""
+    import json
+
+    import ray.data
+
+    from ..stages.agg import tree_sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks = np.array([int(json.loads(p)["k"]) for p in
+                       batch.column("props").to_pylist()], dtype=np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "sum_k": pa.array(ks),
+                      "n": pa.array(np.ones(len(ks), dtype=np.int64))})
+        g = t.group_by(["event_type"]).aggregate([("sum_k", "sum"), ("n", "sum")])
+        return g.rename_columns(["event_type", "sum_k", "n"])
+
+    return tree_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["event_type"], ["sum_k", "n"])
+
+
 TOPK_USERS = 20
 
 
@@ -864,6 +889,12 @@ FROM documents
 """,
         "doc_fingerprint": """
 SELECT doc_id, md5(text) AS fp FROM documents
+""",
+        "props_extract": """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
 """,
         "topk_users": f"""
 WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)

@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg": Q.q_window_agg,
         "topk_users": Q.q_topk_users,
         "props_extract": Q.q_props_extract,
+        "approx_distinct": Q.q_approx_distinct,
         "ngram_jaccard": Q.q_ngram_jaccard,
         "minhash_lsh": Q.q_minhash_lsh,
         "simhash": Q.q_simhash,

@@ -655,6 +655,21 @@ def q_props_extract(sf_dir: str):
                     ["event_type"], ["sum_k", "n"])
 
 
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog approximate distinct user count over events
+    (mergeable register partials; rows-only driver check, accuracy
+    asserted in tests)."""
+    import ray.data
+
+    from ..functions.sketch import approx_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pa.table({"metric": pa.array(["approx_distinct_users"]),
+                     "estimate": pa.array([est], pa.float64())})
+
+
 TOPK_USERS = 20
 
 

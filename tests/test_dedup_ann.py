@@ -194,3 +194,39 @@ class TestAnnLsh:
         norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         for a, b in pairs:
             assert norm[a] @ norm[b] >= 0.95
+
+
+class TestHLL:
+    def test_accuracy(self):
+        import pyarrow as pa
+
+        from karta_ray.functions.sketch import (hll_add_hashes, hll_count,
+                                                hll_create, hll_merge)
+        from karta_ray.functions.text import hash_bytes_u64
+
+        rng = np.random.RandomState(5)
+        true_n = 50_000
+        vals = [f"url-{i}" for i in range(true_n)] * 2  # duplicates
+        regs = hll_create()
+        # split across "partitions" and merge
+        step = 10_000
+        merged = hll_create()
+        for s in range(0, len(vals), step):
+            part = hll_create()
+            h = hash_bytes_u64([v.encode() for v in vals[s:s + step]])
+            hll_add_hashes(part, h)
+            merged = hll_merge(merged, part)
+        est = hll_count(merged)
+        assert abs(est - true_n) / true_n < 0.05
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_dataset_approx_distinct(self):
+        import pyarrow as pa
+        import ray.data
+
+        from karta_ray.functions.sketch import approx_distinct
+
+        vals = [f"u{i % 3000}" for i in range(20000)]
+        ds = ray.data.from_arrow(pa.table({"u": pa.array(vals)})).repartition(8)
+        est = approx_distinct(ds, "u")
+        assert abs(est - 3000) / 3000 < 0.06

@@ -60,6 +60,11 @@ class _GeomJoin:
         if geographical:
             self.tbbox = P.bbox_geographical(
                 self.target, ring=(self.target_kind == "polygon"))
+            if self.tbbox[0] > self.tbbox[2]:
+                # dateline-crossing target: the planar overlap gate would
+                # wrongly exclude candidates — disable the prefilter (the
+                # exact predicate decides; prefilter must stay a superset)
+                self.tbbox = None
         else:
             self.tbbox = P.bbox_planar(self.target)
 
@@ -91,9 +96,10 @@ class _GeomJoin:
         kinds = batch.column("kind").to_pylist()
         keep = []
         for i, m in enumerate(members):
-            mb = P.bbox_planar(m)
-            if not P.bboxes_overlap(self.tbbox, mb):
-                continue
+            if self.tbbox is not None:
+                mb = P.bbox_planar(m)
+                if not P.bboxes_overlap(self.tbbox, mb):
+                    continue
             if self._exact(m, kinds[i]):
                 keep.append(i)
         return batch.take(pa.array(keep, pa.int64()))

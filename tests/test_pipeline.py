@@ -87,3 +87,46 @@ class TestFlagship:
         x, y = T.tile_xy(df["lon"].to_numpy()[ok], df["lat"].to_numpy()[ok], 9)
         np.testing.assert_array_equal(df["tile_x"].to_numpy()[ok], x)
         np.testing.assert_array_equal(df["tile_y"].to_numpy()[ok], y)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJoinModes:
+    def _points(self):
+        import ray.data
+
+        from karta_ray.kernels import tiles as T
+
+        lon = np.array([28.75, 45.0, 0.5, -147.0])   # star, polar, none, hole
+        lat = np.array([25.625, 85.0, 0.5, -46.0])
+        return ray.data.from_arrow(pa.table({
+            "pid": pa.array(np.arange(4, dtype=np.int64)),
+            "lon": pa.array(lon), "lat": pa.array(lat),
+            "cell_id": pa.array(T.cell_id(lon, lat, 7))}))
+
+    def test_semi_mode(self):
+        from karta_ray import synth
+        from karta_ray.stages.join import pip_join
+
+        ps = synth.admin_polygons()
+        out = pip_join(self._points(), ps, zoom=7, mode="semi").to_pandas()
+        # hippie star point and polar point are inside SOME polygon;
+        # the hole point (inside holed_square's hole but also possibly a
+        # region) keeps/drops per exact membership — just verify semi is
+        # a subset of distinct input rows with original columns only
+        assert set(out.columns) >= {"pid", "lon", "lat"}
+        assert out["pid"].is_unique
+        assert {0, 1} <= set(out["pid"])
+
+    def test_tag_mode(self):
+        from karta_ray import synth
+        from karta_ray.stages.join import pip_join
+
+        ps = synth.admin_polygons()
+        out = pip_join(self._points(), ps, zoom=7, mode="tag").to_pandas()
+        assert len(out) == 4  # every input row passes through
+        tagged = out.set_index("pid")["poly_id"]
+        assert tagged.loc[0] >= 0  # star point got a polygon
+        inner = pip_join(self._points(), ps, zoom=7, mode="inner").to_pandas()
+        # tag picks the lowest matching polygon index per point
+        for pid, grp in inner.groupby("pid"):
+            assert tagged.loc[pid] == grp["poly_id"].min()

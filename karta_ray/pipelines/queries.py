@@ -359,19 +359,41 @@ def q_knn_join(sf_dir: str):
 
 def q_dedup_exact(sf_dir: str):
     """Exact dedup of documents on text: representative = min doc_id,
-    plus the duplicate count."""
+    plus the duplicate count.
+
+    The shuffle key is a 128-bit blake2b digest of the text, not the
+    text itself — the scale optimization (SCALING.md): the key shuffle
+    ships 16 bytes/row instead of whole documents; results are identical
+    to grouping on text absent digest collisions (P ~ n^2 / 2^128)."""
+    import hashlib
+
     import ray.data
+
+    from ..stages.agg import tree_agg
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    agg = ds.groupby("text").aggregate(
-        ray.data.aggregate.Min("doc_id"), ray.data.aggregate.Count())
-    agg = agg.rename_columns(["text", "doc_id", "n_copies"])
 
-    def drop_text(batch: pa.Table) -> pa.Table:
-        return batch.select(["doc_id", "n_copies"])
+    def digest(batch: pa.Table) -> pa.Table:
+        d = [hashlib.blake2b(t.encode(), digest_size=16).digest()
+             for t in batch.column("text").to_pylist()]
+        return pa.table({"digest": pa.array(d, pa.binary()),
+                         "doc_id": batch.column("doc_id"),
+                         "n_copies": pa.array(
+                             np.ones(batch.num_rows, dtype=np.int64))})
 
-    return agg.map_batches(drop_text, batch_format="pyarrow")
+    hashed = ds.map_batches(digest, batch_format="pyarrow")
+    agg = hashed.groupby("digest").aggregate(
+        ray.data.aggregate.Min("doc_id"), ray.data.aggregate.Sum("n_copies"))
+    agg = agg.rename_columns(["digest", "doc_id", "n_copies"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_copies": pc.cast(batch.column("n_copies"), pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def q_text_stats(sf_dir: str):

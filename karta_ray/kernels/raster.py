@@ -291,6 +291,8 @@ def hillshade(D, res=(1.0, 1.0), azimuth=330.0, elevation=60.0):
                   np.sin(elevation * np.pi / 180.0)])
     dprod = (nx_ * s[0] + ny_ * s[1] + nz_ * s[2]) / norm
     finite = dprod[~np.isnan(dprod)]
+    if len(finite) == 0:  # degenerate tile (all halo/NaN)
+        return dprod
     q = np.percentile(finite, [2, 98])
     return np.clip(dprod, q[0], q[1])
 

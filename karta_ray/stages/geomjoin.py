@@ -97,9 +97,17 @@ class _GeomJoin:
         keep = []
         for i, m in enumerate(members):
             if self.tbbox is not None:
-                mb = P.bbox_planar(m)
-                if not P.bboxes_overlap(self.tbbox, mb):
-                    continue
+                if self.geographical:
+                    # apex-aware member bbox (great-circle arcs can reach
+                    # beyond vertex latitudes); skip the gate entirely for
+                    # dateline-crossing members
+                    mb = P.bbox_geographical(m, ring=(kinds[i] == "polygon"))
+                    if mb[0] <= mb[2] and not P.bboxes_overlap(self.tbbox, mb):
+                        continue
+                else:
+                    mb = P.bbox_planar(m)
+                    if not P.bboxes_overlap(self.tbbox, mb):
+                        continue
             if self._exact(m, kinds[i]):
                 keep.append(i)
         return batch.take(pa.array(keep, pa.int64()))

@@ -104,3 +104,19 @@ class TestUnionLayers:
         out = union_layers(a, b)
         assert set(out.schema().names) == {"lon", "lat"}
         assert out.count() == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGeographicalJoin:
+    def test_geodesic_arc_touching(self):
+        # geodesic (-50,70)->(50,70) arcs north of lat 70 and crosses a
+        # meridian segment at (0, 71..89): planar member bbox would have
+        # excluded this pair (vector_predicate_tests.py:115-120 analogue)
+        import ray.data
+
+        ds = ray.data.from_arrow(members_table(
+            [np.array([(0.0, 71.0), (1.0, 89.0)]),
+             np.array([(100.0, -10.0), (110.0, -20.0)])], kind="line"))
+        target = np.array([(-50.0, 70.0), (50.0, 70.0)])
+        got = touching(ds, target, "line", geographical=True).to_pandas()
+        assert got["geom_id"].tolist() == [0]

@@ -130,3 +130,28 @@ class TestJoinModes:
         # tag picks the lowest matching polygon index per point
         for pid, grp in inner.groupby("pid"):
             assert tagged.loc[pid] == grp["poly_id"].min()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTreeAggProperty:
+    def test_matches_pandas_groupby(self):
+        import pandas as pd
+        import ray.data
+
+        from karta_ray.stages.agg import tree_agg
+
+        rng = np.random.RandomState(13)
+        n = 50_000
+        df = pa.table({
+            "k1": pa.array(rng.randint(0, 50, n).astype(np.int64)),
+            "k2": pa.array(rng.randint(0, 7, n).astype(np.int64)),
+            "s": pa.array(rng.randint(-100, 100, n).astype(np.int64)),
+            "m": pa.array(rng.randint(0, 10**6, n).astype(np.int64)),
+        })
+        ds = ray.data.from_arrow(df).repartition(16)
+        got = tree_agg(ds, ["k1", "k2"], [("s", "sum"), ("m", "max")]) \
+            .to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True)
+        want = (df.to_pandas().groupby(["k1", "k2"], as_index=False)
+                .agg(s=("s", "sum"), m=("m", "max"))
+                .sort_values(["k1", "k2"]).reset_index(drop=True))
+        assert got.equals(want)

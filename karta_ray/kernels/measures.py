@@ -60,6 +60,37 @@ def polygon_area(rings, crs_tag="cartesian",
     return area - sum(ring_area_geographical(h, a, b) for h in rings[1:])
 
 
+def ring_area_sphere_exact(ring, radius=geodesy.SPHERE_RADIUS):
+    """Exact great-circle polygon area by signed spherical-triangle fan
+    decomposition (l'Huilier excess, orientation from the scalar triple
+    product).
+
+    Provided IN ADDITION to the reference-faithful ``polygon_area``
+    because the reference's per-segment geodesic-quadrilateral sum
+    (geometry.py:1118-1136) drops the canonicalization sign corrections:
+    north/south-symmetric rectangles cancel to exactly 0 (its own
+    dateline area test compares 0 == 0). Not golden-tested there, so the
+    correct computation is offered under a separate name.
+    """
+    ring = np.asarray(ring, dtype=np.float64)
+    v = np.stack(geodesy.sph2cart(ring[:, 0], ring[:, 1]), axis=-1)
+    n = len(ring)
+    total = 0.0
+    a = v[0]
+    for i in range(1, n - 1):
+        b, c = v[i], v[i + 1]
+        ab = np.arccos(np.clip(np.dot(a, b), -1, 1))
+        bc = np.arccos(np.clip(np.dot(b, c), -1, 1))
+        ca = np.arccos(np.clip(np.dot(c, a), -1, 1))
+        s = 0.5 * (ab + bc + ca)
+        t = (np.tan(s / 2) * np.tan((s - ab) / 2)
+             * np.tan((s - bc) / 2) * np.tan((s - ca) / 2))
+        excess = 4.0 * np.arctan(np.sqrt(max(t, 0.0)))
+        sign = np.sign(np.dot(a, np.cross(b, c)))
+        total += sign * excess
+    return abs(total) * radius * radius
+
+
 def ring_perimeter_planar(ring):
     ring = np.asarray(ring, dtype=np.float64)
     closed = np.vstack([ring, ring[:1]])

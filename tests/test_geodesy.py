@@ -191,3 +191,48 @@ class TestPlaneAzimuth:
         # geometry_tests.py:238-242
         from karta_ray.kernels.geodesy import plane_azimuth_deg
         assert np.isnan(plane_azimuth_deg(5.0, 2.0, 5.0, 2.0))
+
+
+class TestDatelineSymmetry:
+    """dateline_tests.py:15-47: azimuth/distance/area invariance across
+    the dateline for both geographical CRSs."""
+
+    def test_azimuth_symmetry(self):
+        for c in (crs.SphericalEarth, crs.LonLatWGS84):
+            az_a = float(c.inverse(0.0, 0.0, -1.0, 1.0)[0])
+            az_b = float(c.inverse(-179.5, 0.0, 179.5, 1.0)[0])
+            assert az_a == pytest.approx(az_b, abs=1e-8)
+
+    def test_distance_symmetry(self):
+        for c in (crs.SphericalEarth, crs.LonLatWGS84):
+            d_a = float(c.inverse(0.0, 0.0, -1.0, 1.0)[2])
+            d_b = float(c.inverse(-179.5, 0.0, 179.5, 1.0)[2])
+            assert d_a == pytest.approx(d_b, abs=1e-6)
+
+    def test_area_symmetry(self):
+        from karta_ray.kernels import measures
+
+        ring0 = np.array([(-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0)])
+        ring1 = np.array([(179.0, -1.0), (-179.0, -1.0),
+                          (-179.0, 1.0), (179.0, 1.0)])
+        # reference-faithful area: symmetric across the dateline (the
+        # reference's own assertion — note its segment-sum cancels to 0
+        # on such rectangles, see ring_area_sphere_exact docstring)
+        for tag in ("spherical", "lonlat_wgs84"):
+            a0 = measures.polygon_area([ring0], crs_tag=tag)
+            a1 = measures.polygon_area([ring1], crs_tag=tag)
+            assert a0 == pytest.approx(a1, abs=1e-6)
+
+    def test_exact_spherical_area(self):
+        from karta_ray.kernels import measures
+
+        ring0 = np.array([(-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0)])
+        ring1 = np.array([(179.0, -1.0), (-179.0, -1.0),
+                          (-179.0, 1.0), (179.0, 1.0)])
+        a0 = measures.ring_area_sphere_exact(ring0)
+        a1 = measures.ring_area_sphere_exact(ring1)
+        assert a0 == pytest.approx(a1, rel=1e-12)
+        # ~2 deg x 2 deg at the equator ~ (222.4 km)^2
+        assert a0 == pytest.approx((2 * 111194.9) ** 2, rel=1e-3)
+        # orientation-independent
+        assert measures.ring_area_sphere_exact(ring0[::-1]) == pytest.approx(a0)

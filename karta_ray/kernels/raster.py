@@ -207,6 +207,30 @@ def clip(values, transform, xmin, ymin, xmax, ymax):
     return values[r0:r1, c0:c1], new_t
 
 
+def resize(values, transform, xmin, ymin, xmax, ymax, nodata=np.nan):
+    """Resize the grid to new edge extents on the same sampling lattice
+    (karta ``Grid.resize``, grid.py:564-617): crop where the new extent
+    is smaller, pad with nodata where larger. Extents snap to whole
+    cells of the existing transform."""
+    x0, y0, dx, dy, sx, sy = transform
+    if sx or sy:
+        raise NotImplementedError("resize not defined for skewed grids")
+    ny, nx = values.shape[:2]
+    j0 = int(round((xmin - x0) / dx))
+    i0 = int(round((ymin - y0) / dy))
+    new_nx = int(round((xmax - xmin) / dx))
+    new_ny = int(round((ymax - ymin) / dy))
+    out = np.full((new_ny, new_nx), nodata, dtype=np.float64)
+    src_i0 = max(i0, 0)
+    src_j0 = max(j0, 0)
+    src_i1 = min(i0 + new_ny, ny)
+    src_j1 = min(j0 + new_nx, nx)
+    if src_i1 > src_i0 and src_j1 > src_j0:
+        out[src_i0 - i0:src_i1 - i0, src_j0 - j0:src_j1 - j0] = \
+            values[src_i0:src_i1, src_j0:src_j1]
+    return out, (x0 + j0 * dx, y0 + i0 * dy, dx, dy, 0.0, 0.0)
+
+
 def resample(values, transform, new_dx, new_dy, *, method="nearest",
              nodata=np.nan):
     """Resample to a new resolution (karta ``Grid.resample``,

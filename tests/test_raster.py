@@ -364,3 +364,19 @@ class TestRasterPipelineE2E:
         y = prof.column("y").to_numpy()
         np.testing.assert_allclose(v, RK.sample_bilinear(T, vals, x, y),
                                    atol=1e-12)
+
+
+class TestResize:
+    def test_crop_and_pad(self):
+        vals = np.arange(36, dtype=float).reshape(6, 6)
+        # crop to [2,2)-[5,5)
+        out, T = RK.resize(vals, T_UNIT, 2.0, 2.0, 5.0, 5.0)
+        assert out.shape == (3, 3)
+        assert T == (2.0, 2.0, 1.0, 1.0, 0.0, 0.0)
+        np.testing.assert_array_equal(out, vals[2:5, 2:5])
+        # pad beyond the grid on all sides
+        out, T = RK.resize(vals, T_UNIT, -2.0, -2.0, 8.0, 8.0)
+        assert out.shape == (10, 10)
+        assert T == (-2.0, -2.0, 1.0, 1.0, 0.0, 0.0)
+        np.testing.assert_array_equal(out[2:8, 2:8], vals)
+        assert np.isnan(out[0, 0]) and np.isnan(out[-1, -1])

@@ -155,3 +155,26 @@ class TestTreeAggProperty:
                 .agg(s=("s", "sum"), m=("m", "max"))
                 .sort_values(["k1", "k2"]).reset_index(drop=True))
         assert got.equals(want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestZoomInvariance:
+    def test_join_results_identical_across_zooms(self):
+        from karta_ray import synth
+        from karta_ray.stages.extract import extract_geotag_stage
+        from karta_ray.stages.join import pip_join
+        from karta_ray.stages.tiles import assign_cells
+
+        ps = synth.admin_polygons()
+        results = []
+        for zoom in (5, 8):
+            ds = synth.pages_dataset(1000, override_num_blocks=3)
+            pts = (ds.map_batches(extract_geotag_stage, batch_format="pyarrow")
+                     .map_batches(assign_cells, batch_format="pyarrow",
+                                  fn_kwargs={"zoom": zoom}))
+            out = pip_join(pts, ps, zoom=zoom).to_pandas()
+            results.append(out[["url", "poly_id"]]
+                           .sort_values(["url", "poly_id"])
+                           .reset_index(drop=True))
+        assert results[0].equals(results[1])
+        assert len(results[0]) > 30

@@ -127,7 +127,11 @@ def grid_merge(grids, weights=None, nodata=np.nan):
     for i, (_, t) in enumerate(grids[1:]):
         if tuple(t[2:6]) != T[2:6]:
             raise ValueError(f"grid {i + 2} stretch/skew mismatch")
-        if ((t[0] - T[0]) / dx) % 1 > 1e-15 or ((t[1] - T[1]) / dy) % 1 > 1e-15:
+        rx = (t[0] - T[0]) / dx
+        ry = (t[1] - T[1]) / dy
+        # distance to the NEAREST integer (r % 1 would reject offsets
+        # landing just below an integer, remainder ~0.9999999999)
+        if (abs(rx - round(rx)) > 1e-9) or (abs(ry - round(ry)) > 1e-9):
             raise ValueError(f"grid {i + 2} not an integer translation")
 
     if weights is None:
@@ -156,8 +160,8 @@ def grid_merge(grids, weights=None, nodata=np.nan):
             v = np.asarray(v, dtype=np.float64)
             band = v if v.ndim == 2 else v[:, :, b]
             gy, gx = band.shape
-            offx = int((t[0] - xmin) / dx)
-            offy = int((t[1] - ymin) / dy)
+            offx = int(round((t[0] - xmin) / dx))
+            offy = int(round((t[1] - ymin) / dy))
             mask = (band != nodata) if not np.isnan(nodata) else ~np.isnan(band)
             acc[offy:offy + gy, offx:offx + gx][mask] += band[mask] * w
             cnt[offy:offy + gy, offx:offx + gx][mask] += w

@@ -76,8 +76,17 @@ def unpack_cell(cell):
 
 
 def cell_id(lon, lat, zoom: int):
-    """lon/lat degrees -> packed int64 cell id at ``zoom`` (NaN -> -1)."""
+    """lon/lat degrees -> packed int64 cell id at ``zoom`` (NaN -> -1).
+
+    Unlike raw :func:`tile_xy` (reference-faithful: lon == 180.0 maps to
+    x == 2**zoom), the packed *join key* wraps x modulo 2**zoom so that
+    antimeridian points land in column 0 — keeping every cell-cover
+    prefilter (``cells_covering_bbox`` generates x in [0, 2**zoom)) a
+    superset of the exact geometric test.
+    """
     x, y = tile_xy(lon, lat, zoom)
+    n = np.int64(1) << np.int64(zoom)
+    x = np.where(x >= 0, x % n, x)
     return pack_cell(np.full_like(x, zoom), x, y)
 
 

@@ -880,9 +880,16 @@ FROM pts
 """,
         "ngram_jaccard": f"""
 WITH g0 AS (
+  -- shingle set per doc; docs shorter than the 3-gram window contribute
+  -- their whole text as one shingle (mirrors char_shingles' fallback;
+  -- empty docs contribute nothing)
   SELECT DISTINCT doc_id, sh
   FROM (SELECT doc_id,
-               unnest([substr(text, g, 3) FOR g IN range(1, length(text)-1)]) AS sh
+               unnest(CASE
+                 WHEN length(text) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN length(text) < 3 THEN [text]
+                 ELSE [substr(text, g, 3) FOR g IN range(1, length(text)-1)]
+               END) AS sh
         FROM documents)),
 rare AS (SELECT sh FROM g0 GROUP BY sh HAVING COUNT(*) <= {NGRAM_MAX_DF}),
 g AS (SELECT g0.doc_id, g0.sh FROM g0 JOIN rare USING (sh)),

@@ -241,6 +241,11 @@ def knn_join_coshuffle(left_ds, right_ds, k: int, *, zoom: int,
         lat = batch.column("lat").to_numpy(zero_copy_only=False)
         rid = batch.column(right_id_col).to_numpy(zero_copy_only=False)
         cells = tiles.cell_id(lon, lat, zoom)
+        # rows without coordinates (cell sentinel -1) cannot be joined;
+        # drop them before neighbor expansion (mirrors KnnJoiner's guard)
+        ok = cells >= 0
+        if not ok.all():
+            lon, lat, rid, cells = lon[ok], lat[ok], rid[ok], cells[ok]
         nb = tiles.neighbor_cells(cells, ring=ring)  # (n, (2r+1)^2)
         reps = nb.shape[1]
         return pa.table({
@@ -267,14 +272,20 @@ def knn_join_coshuffle(left_ds, right_ds, k: int, *, zoom: int,
     both = right_rows.union(left_rows)
 
     def probe(group: pa.Table) -> pa.Table:
+        empty = pa.table({"left_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64()),
+                          "dist_m": pa.array([], pa.float64()),
+                          "resolved": pa.array([], pa.bool_())})
+        # left rows without coordinates group under cell -1; they cannot
+        # be joined (dropped, like KnnJoiner's cell<0 guard) — and
+        # unpack_cell(-1) must never reach _explored_bound_m
+        if int(group.column("cell_id")[0].as_py()) < 0:
+            return empty
         role = group.column("role").to_numpy()
         lmask = role == 1
         if not lmask.any():
-            return pa.table({"left_id": pa.array([], pa.int64()),
-                             "neighbor_id": pa.array([], pa.int64()),
-                             "rank": pa.array([], pa.int64()),
-                             "dist_m": pa.array([], pa.float64()),
-                             "resolved": pa.array([], pa.bool_())})
+            return empty
         rid = group.column("rid").to_numpy()
         lon = group.column("rlon").to_numpy()
         lat = group.column("rlat").to_numpy()
@@ -320,24 +331,242 @@ def knn_join_coshuffle(left_ds, right_ds, k: int, *, zoom: int,
     probed = both.groupby("cell_id").map_groups(
         probe, batch_format="pyarrow").materialize()
 
-    resolved = probed.filter(lambda r: r["resolved"]).drop_columns(["resolved"])
-    unresolved_df = (probed.filter(lambda r: not r["resolved"])
-                     .select_columns(["left_id"]).to_pandas())
-    unresolved_ids = (set(unresolved_df["left_id"].unique().tolist())
-                      if "left_id" in unresolved_df.columns else set())
-    if not unresolved_ids:
+    def keep_resolved(batch: pa.Table) -> pa.Table:
+        mask = batch.column("resolved").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(mask)).drop_columns(["resolved"])
+
+    def keep_unresolved_ids(batch: pa.Table) -> pa.Table:
+        mask = ~batch.column("resolved").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(mask)).select(["left_id"])
+
+    resolved = probed.map_batches(keep_resolved, batch_format="pyarrow")
+    unresolved = probed.map_batches(keep_unresolved_ids,
+                                    batch_format="pyarrow")
+    # distinct unresolved left ids (a left row appears once per rank)
+    ids_ds = (unresolved.groupby("left_id").count()
+              .select_columns(["left_id"]).materialize())
+    if ids_ds.count() == 0:
         return resolved
 
-    # residue pass: exact broadcast kNN for the few unresolved rows
-    rt = right_ds.select_columns([right_id_col, "lon", "lat"]).to_pandas()
-    index = RightIndex(rt[right_id_col].to_numpy(), rt["lon"].to_numpy(),
-                       rt["lat"].to_numpy(), zoom)
-    residue_left = left_ds.filter(
-        lambda r, ids=unresolved_ids: r["left_id"] in ids)
-    fixed = knn_join(residue_left, index, k)
+    # residue rounds: the unresolved rows are few by construction, so
+    # invert the replication — the residue LEFT side fans out to an
+    # expanding ring of cells while every right row stays in its own
+    # cell (scanned once per round, never replicated). Distributed end
+    # to end: the residue is selected with a hash semi-join, never
+    # collected on the driver.
+    # materialize: keeps at most ONE hash join per executed plan (chained
+    # lazy joins can starve each other's aggregator actors for CPUs)
+    residue_left = left_ds.join(ids_ds, "inner", num_partitions=4,
+                                on=("left_id",)).materialize()
+    fixed = _knn_residue_rounds(residue_left, right_ds, k, zoom=zoom,
+                                right_id_col=right_id_col,
+                                start_ring=2 * ring + 1)
+    return resolved.union(fixed)
 
-    def shape_fixed(batch: pa.Table) -> pa.Table:
-        return batch.select(["left_id", "neighbor_id", "rank", "dist_m"])
 
-    return resolved.union(fixed.map_batches(shape_fixed,
+def _knn_residue_rounds(residue_left, right_ds, k: int, *, zoom: int,
+                        right_id_col: str, start_ring: int):
+    """Exact kNN for a (small) residue left Dataset vs a big right
+    Dataset, no broadcast: per round, each residue row visits the
+    (2r+1)^2 cells around its home cell, right rows are grouped by their
+    own cell, per-cell local top-k partials are merged per left row, and
+    rows whose k-th distance beats the ring-r bound resolve. Unresolved
+    rows go to the next round with r doubled; once r covers the whole
+    grid every candidate has been seen and the result is exact by
+    completeness."""
+    import ray.data  # noqa: F401  (Dataset ops)
+
+    n = 1 << zoom
+
+    def right_rows_fn(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        rid = batch.column(right_id_col).to_numpy(zero_copy_only=False)
+        cells = tiles.cell_id(lon, lat, zoom)
+        ok = cells >= 0
+        return pa.table({
+            "cell_id": pa.array(cells[ok], pa.int64()),
+            "rid": pa.array(rid[ok], pa.int64()),
+            "rlon": pa.array(lon[ok], pa.float64()),
+            "rlat": pa.array(lat[ok], pa.float64()),
+            "role": pa.array(np.zeros(int(ok.sum()), dtype=np.int8)),
+        })
+
+    right_rows = right_ds.map_batches(right_rows_fn, batch_format="pyarrow")
+
+    out_parts = []
+    cur = residue_left
+    r = start_ring
+    while True:
+        # x wraps (needs 2r+1 >= n) and y clamps (needs r >= n-1 from an
+        # edge row): r >= n-1 guarantees every cell is visited
+        full_cover = r >= n - 1
+        rr = r
+
+        def visit_left(batch: pa.Table, *, rr=rr) -> pa.Table:
+            lon = batch.column("lon").to_numpy(zero_copy_only=False)
+            lat = batch.column("lat").to_numpy(zero_copy_only=False)
+            lid = batch.column("left_id").to_numpy(zero_copy_only=False)
+            home = batch.column("cell_id").to_numpy(zero_copy_only=False)
+            ok = home >= 0
+            lon, lat, lid, home = lon[ok], lat[ok], lid[ok], home[ok]
+            nb = tiles.neighbor_cells(home, ring=rr)
+            # visited cells can repeat after x-wrap / y-clamp; dedup per
+            # row so a candidate is never scored twice
+            flat_cells = []
+            flat_idx = []
+            for i in range(len(home)):
+                u = np.unique(nb[i])
+                flat_cells.append(u)
+                flat_idx.append(np.full(len(u), i, dtype=np.int64))
+            cells = (np.concatenate(flat_cells) if flat_cells
+                     else np.empty(0, dtype=np.int64))
+            idx = (np.concatenate(flat_idx) if flat_idx
+                   else np.empty(0, dtype=np.int64))
+            return pa.table({
+                "cell_id": pa.array(cells, pa.int64()),
+                "rid": pa.array(lid[idx], pa.int64()),
+                "rlon": pa.array(lon[idx], pa.float64()),
+                "rlat": pa.array(lat[idx], pa.float64()),
+                "role": pa.array(np.ones(len(cells), dtype=np.int8)),
+                "home": pa.array(home[idx], pa.int64()),
+            })
+
+        lrep = cur.map_batches(visit_left, batch_format="pyarrow")
+
+        def add_home(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "home", pa.array(np.full(batch.num_rows, -1, np.int64)))
+
+        both = right_rows.map_batches(add_home,
+                                      batch_format="pyarrow").union(lrep)
+
+        def cell_partials(group: pa.Table) -> pa.Table:
+            empty = pa.table({"left_id": pa.array([], pa.int64()),
+                              "home": pa.array([], pa.int64()),
+                              "qlon": pa.array([], pa.float64()),
+                              "qlat": pa.array([], pa.float64()),
+                              "neighbor_id": pa.array([], pa.int64()),
+                              "dist_m": pa.array([], pa.float64())})
+            role = group.column("role").to_numpy()
+            lmask = role == 1
+            if not lmask.any() or lmask.all():
+                return empty
+            rid = group.column("rid").to_numpy()
+            lon = group.column("rlon").to_numpy()
+            lat = group.column("rlat").to_numpy()
+            home = group.column("home").to_numpy()
+            qid, qlon, qlat, qhome = (rid[lmask], lon[lmask], lat[lmask],
+                                      home[lmask])
+            cid, clon, clat = rid[~lmask], lon[~lmask], lat[~lmask]
+            d = _dist_sphere(qlon[:, None], qlat[:, None],
+                             clon[None, :], clat[None, :])
+            kk = min(k, len(cid))
+            order = np.lexsort((np.broadcast_to(cid, d.shape), d),
+                               axis=1)[:, :kk]
+            picked = cid[order]
+            dist = np.take_along_axis(d, order, axis=1)
+            nq = len(qid)
+            return pa.table({
+                "left_id": pa.array(np.repeat(qid, kk), pa.int64()),
+                "home": pa.array(np.repeat(qhome, kk), pa.int64()),
+                "qlon": pa.array(np.repeat(qlon, kk), pa.float64()),
+                "qlat": pa.array(np.repeat(qlat, kk), pa.float64()),
+                "neighbor_id": pa.array(picked.ravel(), pa.int64()),
+                "dist_m": pa.array(dist.ravel(), pa.float64()),
+            })
+
+        # a sentinel partial per residue row guarantees every left row
+        # reaches merge_left even when no visited cell held a candidate
+        def sentinel(batch: pa.Table) -> pa.Table:
+            home = batch.column("cell_id").to_numpy(zero_copy_only=False)
+            ok = home >= 0
+            m = int(ok.sum())
+            return pa.table({
+                "left_id": pa.array(
+                    batch.column("left_id").to_numpy(
+                        zero_copy_only=False)[ok], pa.int64()),
+                "home": pa.array(home[ok], pa.int64()),
+                "qlon": pa.array(batch.column("lon").to_numpy(
+                    zero_copy_only=False)[ok], pa.float64()),
+                "qlat": pa.array(batch.column("lat").to_numpy(
+                    zero_copy_only=False)[ok], pa.float64()),
+                "neighbor_id": pa.array(np.full(m, -1, np.int64)),
+                "dist_m": pa.array(np.full(m, np.inf), pa.float64()),
+            })
+
+        partials = both.groupby("cell_id").map_groups(
+            cell_partials, batch_format="pyarrow").union(
+            cur.map_batches(sentinel, batch_format="pyarrow"))
+
+        def merge_left(group: pa.Table, *, rr=rr,
+                       full_cover=full_cover) -> pa.Table:
+            nid_all = group.column("neighbor_id").to_numpy()
+            dist_all = group.column("dist_m").to_numpy()
+            valid = nid_all >= 0
+            nid = nid_all[valid]
+            dist = dist_all[valid]
+            order = np.lexsort((nid, dist))[:k]
+            m = len(order)
+            lid = int(group.column("left_id")[0].as_py())
+            if full_cover:
+                ok = True
+            elif m >= k:
+                home = int(group.column("home")[0].as_py())
+                qlon = np.asarray([group.column("qlon")[0].as_py()])
+                qlat = np.asarray([group.column("qlat")[0].as_py()])
+                z, x, y = (int(v) for v in
+                           tiles.unpack_cell(np.int64(home)))
+                bound = float(_explored_bound_m(z, x, y, rr, qlon, qlat)[0])
+                ok = bool(dist[order[-1]] <= bound)
+            else:
+                ok = False
+            if m == 0 and not ok:
+                # no candidates yet: emit an unresolved marker so the
+                # row is carried into the next (wider) round
+                return pa.table({
+                    "left_id": pa.array([lid], pa.int64()),
+                    "neighbor_id": pa.array([-1], pa.int64()),
+                    "rank": pa.array([-1], pa.int64()),
+                    "dist_m": pa.array([np.inf], pa.float64()),
+                    "resolved": pa.array([False]),
+                })
+            return pa.table({
+                "left_id": pa.array(np.full(m, lid, np.int64)),
+                "neighbor_id": pa.array(nid[order], pa.int64()),
+                "rank": pa.array(np.arange(1, m + 1, dtype=np.int64)),
+                "dist_m": pa.array(dist[order], pa.float64()),
+                "resolved": pa.array(np.full(m, ok)),
+            })
+
+        merged = partials.groupby("left_id").map_groups(
+            merge_left, batch_format="pyarrow").materialize()
+
+        def keep_res(batch: pa.Table) -> pa.Table:
+            mask = batch.column("resolved").to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(mask)).drop_columns(["resolved"])
+
+        out_parts.append(merged.map_batches(keep_res,
                                             batch_format="pyarrow"))
+        if full_cover:
+            break
+
+        def keep_unres(batch: pa.Table) -> pa.Table:
+            mask = ~batch.column("resolved").to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(mask)).select(["left_id"])
+
+        ids_ds = (merged.map_batches(keep_unres, batch_format="pyarrow")
+                  .groupby("left_id").count()
+                  .select_columns(["left_id"]).materialize())
+        if ids_ds.count() == 0:
+            break
+        cur = cur.join(ids_ds, "inner", num_partitions=4,
+                       on=("left_id",)).materialize()
+        # quadruple the ring: each residue round costs a fixed number of
+        # shuffles, so converge in few rounds rather than small steps
+        r = 4 * r + 1
+
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.union(p)
+    return out

@@ -105,3 +105,78 @@ class TestKnnCoshuffle:
             got.setdefault(int(row.left_id), {})[int(row["rank"])] = int(row.neighbor_id)
         for q in range(n_l):
             assert [got[q][r] for r in range(1, k + 1)] == want[q].tolist(), q
+
+
+class TestKnnCoshuffleEdgeCases:
+    def test_nan_coordinates_do_not_crash(self):
+        # ADVICE r01: rows without coordinates (cell_id == -1) used to
+        # reach unpack_cell(-1)/_explored_bound_m and raise; they must
+        # simply be dropped on both sides (KnnJoiner semantics)
+        import ray.data
+
+        from karta_ray.stages.knn import knn_join_coshuffle
+
+        rng = np.random.RandomState(3)
+        n_r, n_l, k = 60, 25, 2
+        rlon = rng.uniform(-40, 40, n_r)
+        rlat = rng.uniform(-30, 30, n_r)
+        rlon[::7] = np.nan  # some right rows without coords
+        rids = np.arange(9000, 9000 + n_r)
+        llon = rng.uniform(-35, 35, n_l)
+        llat = rng.uniform(-25, 25, n_l)
+        llon[::5] = np.nan  # some left rows without coords
+        lids = np.arange(n_l)
+        zoom = 2
+        left = pa.table({"left_id": pa.array(lids),
+                         "lon": pa.array(llon), "lat": pa.array(llat),
+                         "cell_id": pa.array(tiles.cell_id(llon, llat, zoom))})
+        right = pa.table({"right_id": pa.array(rids),
+                          "lon": pa.array(rlon), "lat": pa.array(rlat)})
+        out = knn_join_coshuffle(ray.data.from_arrow(left),
+                                 ray.data.from_arrow(right),
+                                 k, zoom=zoom).to_pandas()
+        lok = ~np.isnan(llon)
+        rok = ~np.isnan(rlon)
+        want = brute_knn(llon[lok], llat[lok], rids[rok],
+                         rlon[rok], rlat[rok], k)
+        got = {}
+        for _, row in out.iterrows():
+            got.setdefault(int(row.left_id), {})[int(row["rank"])] = \
+                int(row.neighbor_id)
+        assert set(got) == set(lids[lok].tolist())
+        for qi, q in enumerate(lids[lok]):
+            assert [got[q][r] for r in range(1, k + 1)] == want[qi].tolist()
+
+    def test_sparse_right_forces_residue_rounds(self):
+        # right side so sparse that most cells fail the in-cell bound:
+        # the distributed residue rounds (left-fanout, ring doubling up
+        # to full cover) must still produce exact results
+        import ray.data
+
+        from karta_ray.stages.knn import knn_join_coshuffle
+
+        rng = np.random.RandomState(23)
+        n_r, n_l, k = 8, 40, 3
+        rlon = rng.uniform(-150, 150, n_r)
+        rlat = rng.uniform(-70, 70, n_r)
+        rids = np.arange(100, 100 + n_r)
+        llon = rng.uniform(-170, 170, n_l)
+        llat = rng.uniform(-75, 75, n_l)
+        lids = np.arange(n_l)
+        zoom = 4  # 16x16 grid, 8 right points -> almost all cells empty
+        left = pa.table({"left_id": pa.array(lids),
+                         "lon": pa.array(llon), "lat": pa.array(llat),
+                         "cell_id": pa.array(tiles.cell_id(llon, llat, zoom))})
+        right = pa.table({"right_id": pa.array(rids),
+                          "lon": pa.array(rlon), "lat": pa.array(rlat)})
+        out = knn_join_coshuffle(ray.data.from_arrow(left),
+                                 ray.data.from_arrow(right),
+                                 k, zoom=zoom).to_pandas()
+        want = brute_knn(llon, llat, rids, rlon, rlat, k)
+        got = {}
+        for _, row in out.iterrows():
+            got.setdefault(int(row.left_id), {})[int(row["rank"])] = \
+                int(row.neighbor_id)
+        assert set(got) == set(lids.tolist())
+        for q in range(n_l):
+            assert [got[q][r] for r in range(1, k + 1)] == want[q].tolist(), q

@@ -190,3 +190,46 @@ class TestCountCrossings:
                                  UNITSQUARE, ring=True)[0] == 1
         assert P.count_crossings(np.array([-1.0]), np.array([0.5]),
                                  UNITSQUARE, ring=True)[0] == 0
+
+
+class TestPolarDivergence:
+    """Captured divergence from the reference (documented in README):
+    karta's ``ispolar`` counts unsigned dateline crossings, flagging
+    dateline-straddling NON-polar rings as polar and routing them to the
+    azimuth-sum test; karta_ray's signed winding does not."""
+
+    QUAD = np.array([(179.0, -10.0), (-179.0, -10.0),
+                     (-179.0, 10.0), (179.0, 10.0)])
+
+    def _reference_ispolar(self, ring):
+        # karta/vector/geometry.py:1050-1076 semantics: accumulate
+        # |360| whenever a segment crosses the dateline
+        lons = ring[:, 0]
+        s = 0.0
+        for i in range(len(lons)):
+            d = lons[(i + 1) % len(lons)] - lons[i]
+            if abs(d) > 180.0:  # dateline crossing
+                s += 360.0
+            else:
+                s += abs(d) * 0  # non-crossing segments contribute 0 net
+        return bool(s >= 360.0)
+
+    def test_verdicts_differ_on_dateline_quad(self):
+        from karta_ray.kernels.predicates import (points_in_ring_dateline,
+                                                  ring_is_polar)
+
+        # reference would classify the quad polar; we do not
+        assert self._reference_ispolar(self.QUAD) is True
+        assert ring_is_polar(self.QUAD) is False
+        # and our dateline winding gives the spherically-correct verdicts
+        inside = points_in_ring_dateline(
+            np.array([179.5, -179.5, 0.0, 179.5]),
+            np.array([0.0, 0.0, 0.0, 80.0]), self.QUAD)
+        assert inside.tolist() == [True, True, False, False]
+
+    def test_true_polar_ring_still_polar(self):
+        from karta_ray.kernels.predicates import ring_is_polar
+
+        cap = np.column_stack([np.linspace(-180.0, 180.0, 9)[:-1],
+                               np.full(8, 75.0)])
+        assert ring_is_polar(cap) is True

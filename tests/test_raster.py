@@ -380,3 +380,21 @@ class TestResize:
         assert T == (-2.0, -2.0, 1.0, 1.0, 0.0, 0.0)
         np.testing.assert_array_equal(out[2:8, 2:8], vals)
         assert np.isnan(out[0, 0]) and np.isnan(out[-1, -1])
+
+
+class TestMergeNearIntegerOffsets:
+    def test_offset_just_below_integer_accepted(self):
+        # ADVICE r01: (offset/dx) % 1 rejected remainders ~0.9999999999;
+        # the check must compare to the NEAREST integer
+        eps = 1e-12
+        g1 = (np.ones([4, 4]), (0.0, 0.0, 1.0, 1.0, 0.0, 0.0))
+        g2 = (2 * np.ones([4, 4]), (3.0 - eps, 2.0 - eps, 1.0, 1.0, 0.0, 0.0))
+        vals, T = RK.grid_merge([g1, g2])
+        assert vals.shape == (6, 7)
+        assert vals[0, 0] == 1.0 and vals[5, 6] == 2.0
+
+    def test_truly_fractional_offset_rejected(self):
+        g1 = (np.ones([4, 4]), (0.0, 0.0, 1.0, 1.0, 0.0, 0.0))
+        g2 = (np.ones([4, 4]), (2.5, 0.0, 1.0, 1.0, 0.0, 0.0))
+        with pytest.raises(ValueError):
+            RK.grid_merge([g1, g2])

@@ -81,3 +81,17 @@ def test_cells_covering_bbox_dateline():
     assert (xs >= 0).all() and (xs < 16).all()
     # covers tiles on both sides of the dateline
     assert 15 in xs.tolist() and 0 in xs.tolist()
+
+
+def test_cell_id_wraps_antimeridian():
+    # tile_xy is reference-faithful (lon 180 -> x == 2**zoom) but the
+    # packed JOIN key wraps to column 0, so cell-cover prefilters
+    # (which generate x in [0, 2**zoom)) stay supersets on the dateline
+    x, y = tiles.tile_xy(np.float64(180.0), np.float64(0.0), 4)
+    assert int(x) == 16
+    cid = tiles.cell_id(np.array([180.0, -180.0]), np.array([0.0, 0.0]), 4)
+    zs, xs, ys = tiles.unpack_cell(cid)
+    assert xs.tolist() == [0, 0]
+    # a dateline-crossing cover now contains the lon==180 point's cell
+    cover = tiles.cells_covering_bbox(179.0, -10.0, -179.0, 10.0, 4)
+    assert int(cid[0]) in set(cover.tolist())

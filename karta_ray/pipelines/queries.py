@@ -535,14 +535,17 @@ def q_simhash(sf_dir: str):
 
 
 def _load_queries_driver_side(sf_dir: str, n: int):
-    import pyarrow.parquet as pq
+    """The n query vectors only (pushed-down filter), not the table."""
+    import pyarrow.dataset as pads
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
+    from ..functions.arrays import list_column_to_matrix
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < n)
     vid = t.column("vec_id").to_numpy()
-    mask = vid < n
-    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)[mask]
-    return vid[mask], mat
+    mat = list_column_to_matrix(t.column("embedding"))
+    return vid, mat
 
 
 def q_ann_topk(sf_dir: str):
@@ -573,40 +576,47 @@ def q_ann_ivf(sf_dir: str):
 
 
 def q_embed_neardup(sf_dir: str):
-    """Exact all-pairs embedding cosine >= NEARDUP_TAU."""
-    import pyarrow.parquet as pq
+    """Exact all-pairs embedding cosine >= NEARDUP_TAU via the blocked
+    triangle join — no driver materialization, no broadcast of the full
+    matrix (the r01 scale-killer); identical pairs to the broadcast
+    variant."""
     import ray.data
 
-    from ..stages.ann import cosine_neardup_pairs
+    from ..stages.ann import cosine_neardup_blocked
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    ids = t.column("vec_id").to_numpy()
-    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    return cosine_neardup_pairs(ds, ids, mat, NEARDUP_TAU)
+    return cosine_neardup_blocked(ds, NEARDUP_TAU, nblocks=4)
 
 
 def q_doc_quality(sf_dir: str):
-    """Integer quality metrics per document (SQL-mirrorable)."""
+    """Integer quality metrics per document — pure Arrow compute
+    (utf8_length / replace_substring / replace_substring_regex), no
+    per-row Python; values identical to functions.text.quality_counts
+    (asserted in tests)."""
     import ray.data
-
-    from ..functions.text import quality_counts
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
-        stats = [quality_counts(t) for t in batch.column("text").to_pylist()]
-        arr = np.asarray(stats, dtype=np.int64).reshape(-1, 5)
+        text = batch.column("text")
+        total = pc.cast(pc.utf8_length(text), pa.int64())
+
+        def count_of(sub):
+            stripped = pc.utf8_length(
+                pc.replace_substring(text, sub, ""))
+            return pc.subtract(total, pc.cast(stripped, pa.int64()))
+
+        digits = pc.subtract(total, pc.cast(pc.utf8_length(
+            pc.replace_substring_regex(text, "[0-9]", "")), pa.int64()))
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "n_chars_m": pa.array(arr[:, 0]),
-            "n_spaces": pa.array(arr[:, 1]),
-            "n_periods": pa.array(arr[:, 2]),
-            "n_commas": pa.array(arr[:, 3]),
-            "n_digits": pa.array(arr[:, 4]),
+            "n_chars_m": total,
+            "n_spaces": count_of(" "),
+            "n_periods": count_of("."),
+            "n_commas": count_of(","),
+            "n_digits": digits,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -752,24 +762,16 @@ SESSION_GAP_US = 1800 * 1_000_000
 
 def q_sessionize(sf_dir: str):
     """Per-user sessionization of the events stream (30-min idle gap):
-    (user_id, n_events, n_sessions). groupby().map_groups with an
-    in-group sort — the Ray-native windowed/stateful pattern."""
+    (user_id, n_events, n_sessions) — sort by (user, ts) + vectorized
+    segment partials + one vectorized stitch (no per-user Python; see
+    stages/session.py)."""
     import ray.data
+
+    from ..stages.session import sessionize
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
-
-    def sessions(group: pa.Table) -> pa.Table:
-        ts = np.sort(group.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64))
-        gaps = np.diff(ts)
-        n_sessions = 1 + int((gaps > SESSION_GAP_US).sum()) if len(ts) else 0
-        return pa.table({
-            "user_id": pa.array([group.column("user_id")[0].as_py()], pa.int64()),
-            "n_events": pa.array([len(ts)], pa.int64()),
-            "n_sessions": pa.array([n_sessions], pa.int64()),
-        })
-
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    return sessionize(ds, gap_us=SESSION_GAP_US)
 
 
 # ---------------------------------------------------------------------------

@@ -20,8 +20,9 @@ import ray
 
 
 def _to_matrix(col) -> np.ndarray:
-    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
-    return np.asarray(arr.to_pylist(), dtype=np.float64)
+    from ..functions.arrays import list_column_to_matrix
+
+    return list_column_to_matrix(col, dtype=np.float64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -194,6 +195,8 @@ def cosine_neardup_lsh(emb_ds, threshold: float, *, bits: int = 32,
     state = {"planes": None}  # lazily sized to the embedding dim per worker
 
     def sig_rows(batch: pa.Table) -> pa.Table:
+        from ..functions.arrays import matrix_to_list_column
+
         emb = _normalize(_to_matrix(batch.column("embedding")))
         if state["planes"] is None or state["planes"].shape[1] != emb.shape[1]:
             state["planes"] = _hyperplanes(emb.shape[1], bits)
@@ -202,7 +205,6 @@ def cosine_neardup_lsh(emb_ds, threshold: float, *, bits: int = 32,
         out_band = []
         out_key = []
         out_id = []
-        out_emb = []
         for b in range(bands):
             chunk = bitsm[:, b * rows_per_band:(b + 1) * rows_per_band]
             key = (chunk.astype(np.int64)
@@ -210,12 +212,11 @@ def cosine_neardup_lsh(emb_ds, threshold: float, *, bits: int = 32,
             out_band.append(np.full(len(vid), b, dtype=np.int64))
             out_key.append(key)
             out_id.append(vid)
-            out_emb.extend(emb.tolist())
         return pa.table({
             "band": pa.array(np.concatenate(out_band)),
             "key": pa.array(np.concatenate(out_key)),
             "vec_id": pa.array(np.concatenate(out_id)),
-            "embedding": pa.array(out_emb),
+            "embedding": matrix_to_list_column(np.tile(emb, (bands, 1))),
         })
 
     rows = emb_ds.map_batches(sig_rows, batch_format="pyarrow")
@@ -227,7 +228,7 @@ def cosine_neardup_lsh(emb_ds, threshold: float, *, bits: int = 32,
         if group.num_rows < 2 or group.num_rows > max_bucket:
             return empty
         vid = group.column("vec_id").to_numpy()
-        emb = np.asarray(group.column("embedding").to_pylist())
+        emb = _to_matrix(group.column("embedding"))
         order = np.argsort(vid, kind="stable")
         vid, emb = vid[order], emb[order]
         sims = emb @ emb.T
@@ -244,6 +245,80 @@ def cosine_neardup_lsh(emb_ds, threshold: float, *, bits: int = 32,
     from .agg import tree_agg
 
     return tree_agg(pairs, ["vec_a", "vec_b"], [("sim", "max")])
+
+
+def cosine_neardup_blocked(emb_ds, threshold: float, *, nblocks: int = 8):
+    """Exact all-pairs cosine >= threshold with NO broadcast side and no
+    driver materialization — the distributed "triangle join":
+
+    every vector hashes to one of ``nblocks`` blocks and is replicated
+    to the ``nblocks`` block-pair buckets it participates in; each
+    bucket (i, j) receives exactly the vectors of blocks i and j and
+    scores its cross product (i == j scores the in-block triangle), so
+    every unordered pair is scored in exactly one bucket. Replication
+    factor is ``nblocks`` (choose ~sqrt(cluster parallelism)); total
+    compute remains the inherent O(N^2/2) of an exact all-pairs scan.
+
+    Results are identical to the broadcast variant: same normalized
+    float64 dot products, same threshold rule, (vec_a < vec_b) pairs.
+    """
+    from ..functions.arrays import matrix_to_list_column
+
+    def expand(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").to_numpy().astype(np.int64)
+        emb = _normalize(_to_matrix(batch.column("embedding")))
+        blk = (vid * np.int64(2654435761)) % nblocks  # deterministic
+        lo = np.minimum(blk[:, None], np.arange(nblocks)[None, :])
+        hi = np.maximum(blk[:, None], np.arange(nblocks)[None, :])
+        bucket = (lo * nblocks + hi).ravel()
+        n = len(vid)
+        return pa.table({
+            "bucket": pa.array(bucket, pa.int64()),
+            "blk": pa.array(np.repeat(blk, nblocks), pa.int64()),
+            "vec_id": pa.array(np.repeat(vid, nblocks), pa.int64()),
+            "embedding": matrix_to_list_column(
+                np.repeat(emb, nblocks, axis=0)),
+        }) if n else pa.table({
+            "bucket": pa.array([], pa.int64()),
+            "blk": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float64())),
+        })
+
+    rows = emb_ds.map_batches(expand, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                          "vec_b": pa.array([], pa.int64())})
+        if group.num_rows < 2:
+            return empty
+        bucket = int(group.column("bucket")[0].as_py())
+        lo, hi = bucket // nblocks, bucket % nblocks
+        vid = group.column("vec_id").to_numpy()
+        blk = group.column("blk").to_numpy()
+        emb = _to_matrix(group.column("embedding"))
+        if lo == hi:
+            order = np.argsort(vid, kind="stable")
+            vid, emb = vid[order], emb[order]
+            sims = emb @ emb.T
+            ai, bi = np.triu_indices(len(vid), 1)
+            keep = sims[ai, bi] >= threshold
+            a, b = vid[ai][keep], vid[bi][keep]
+        else:
+            ml = blk == lo
+            va, ea = vid[ml], emb[ml]
+            vb, eb = vid[~ml], emb[~ml]
+            if not len(va) or not len(vb):
+                return empty
+            sims = ea @ eb.T
+            ii, jj = np.nonzero(sims >= threshold)
+            a, b = va[ii], vb[jj]
+            a, b = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"vec_a": pa.array(a, pa.int64()),
+                         "vec_b": pa.array(b, pa.int64())})
+
+    return rows.groupby("bucket").map_groups(bucket_pairs,
+                                             batch_format="pyarrow")
 
 
 def cosine_neardup_pairs(emb_ds, full_ids, full_mat, threshold: float):

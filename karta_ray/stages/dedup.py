@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions import text as T
 from .agg import tree_sum
@@ -81,8 +82,6 @@ def ngram_jaccard_pairs(docs_ds, *, id_col: str = "doc_id",
 
     Returns Dataset (doc_a, doc_b, n_shared).
     """
-    import ray
-
     rows = docs_ds.map_batches(shingle_rows, batch_format="pyarrow",
                                fn_kwargs={"id_col": id_col,
                                           "text_col": text_col, "n": n})
@@ -90,116 +89,152 @@ def ngram_jaccard_pairs(docs_ds, *, id_col: str = "doc_id",
                                             batch_format="pyarrow")
     counts = tree_sum(emitted, ["doc_a", "doc_b"], ["n"]).materialize()
 
-    sizes_df = counts.filter(lambda r: r["doc_b"] == -1).to_pandas()
-    if "doc_a" in sizes_df.columns:
-        sizes_map = dict(zip(sizes_df["doc_a"].to_numpy(),
-                             sizes_df["n"].to_numpy()))
-    else:  # low-entropy corpus: no shingle under the DF cap
-        sizes_map = {}
-    sizes_ref = ray.put(sizes_map)
+    # post-filter shingle-set sizes: the sentinel rows (doc, -1) of the
+    # same shuffle. Joined back to the pair rows with two small hash
+    # joins (pair cardinality is DF-capped) — no O(n_docs) driver dict
+    # (the r01 scale-killer).
+    def split_sizes(batch: pa.Table) -> pa.Table:
+        mask = batch.column("doc_b").to_numpy() == -1
+        t = batch.filter(pa.array(mask))
+        return pa.table({"doc_id": t.column("doc_a"),
+                         "sz": pc.cast(t.column("n"), pa.int64())})
 
-    def threshold_filter(batch: pa.Table, *, sizes_ref=sizes_ref) -> pa.Table:
-        sizes = ray.get(sizes_ref) if isinstance(sizes_ref, ray.ObjectRef) \
-            else sizes_ref
-        da = batch.column("doc_a").to_numpy()
-        db = batch.column("doc_b").to_numpy()
+    def split_pairs(batch: pa.Table) -> pa.Table:
+        mask = batch.column("doc_b").to_numpy() >= 0
+        return batch.filter(pa.array(mask))
+
+    sizes = counts.map_batches(split_sizes, batch_format="pyarrow")
+    pairs = counts.map_batches(split_pairs, batch_format="pyarrow")
+    j1 = pairs.join(sizes, "inner", num_partitions=4,
+                    on=("doc_a",), right_on=("doc_id",),
+                    right_suffix="_a").materialize()
+    j2 = j1.rename_columns({"sz": "sz_a"}).join(
+        sizes, "inner", num_partitions=4,
+        on=("doc_b",), right_on=("doc_id",)).materialize()
+
+    def threshold_filter(batch: pa.Table) -> pa.Table:
         c = batch.column("n").to_numpy().astype(np.float64)
-        real = db >= 0
-        na = np.array([sizes.get(d, 0) for d in da], dtype=np.float64)
-        nb = np.array([sizes.get(d, 0) for d in db], dtype=np.float64)
+        na = batch.column("sz_a").to_numpy().astype(np.float64)
+        nb = batch.column("sz").to_numpy().astype(np.float64)
         with np.errstate(invalid="ignore", divide="ignore"):
             j = c / (na + nb - c)
-        keep = np.nonzero(real & (j >= threshold))[0]
-        out = batch.take(pa.array(keep, pa.int64()))
+        keep = np.nonzero(j >= threshold)[0]
+        out = batch.select(["doc_a", "doc_b", "n"]).take(
+            pa.array(keep, pa.int64()))
         return out.rename_columns(["doc_a", "doc_b", "n_shared"])
 
-    return counts.map_batches(threshold_filter, batch_format="pyarrow")
+    return j2.map_batches(threshold_filter, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH (approximate, the web-scale path)
 # ---------------------------------------------------------------------------
 
-def minhash_rows(batch: pa.Table, *, id_col: str, text_col: str,
-                 k: int = 128, bands: int = 16, n: int = 3) -> pa.Table:
-    """Per doc: signature -> one row per LSH band
-    (band, key, doc_id, sig as fixed list)."""
-    rows = k // bands
+def minhash_sig_rows(batch: pa.Table, *, id_col: str, text_col: str,
+                     k: int = 128, n: int = 3) -> pa.Table:
+    """Per doc: ONE row (doc_id, sig as a k*8-byte binary blob — binary
+    because Arrow's hash join rejects list payload columns)."""
+    from ..functions.arrays import matrix_to_binary_column
+
     ids = batch.column(id_col).to_numpy()
     texts = batch.column(text_col).to_pylist()
-    band_l = []
-    key_l = []
-    id_l = []
-    sig_l = []
+    sigs = np.empty((len(texts), k), dtype=np.int64)
     for i, t in enumerate(texts):
-        sig = T.minhash_signature(T.char_shingles(t, n), k)
-        keys = T.band_keys(sig, bands, rows)
-        band_l.append(np.arange(bands, dtype=np.int64))
-        key_l.append(keys.astype(np.int64))
-        id_l.append(np.full(bands, ids[i], dtype=np.int64))
-        sig_l.extend([sig.astype(np.int64)] * bands)
+        sigs[i] = T.minhash_signature(T.char_shingles(t, n), k).astype(
+            np.int64)
     return pa.table({
-        "band": pa.array(np.concatenate(band_l) if band_l else []),
-        "key": pa.array(np.concatenate(key_l) if key_l else []),
-        "doc_id": pa.array(np.concatenate(id_l) if id_l else []),
-        "sig": pa.array([s.tolist() for s in sig_l],
-                        pa.list_(pa.int64(), 128 if not sig_l else len(sig_l[0]))),
+        "doc_id": pa.array(ids.astype(np.int64)),
+        "sig": matrix_to_binary_column(sigs),
     })
+
+
+def _band_rows(bands: int, rows: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        """(band, key, doc_id) only — 24 bytes/row through the shuffle
+        instead of the full 128-int signature replicated per band (the
+        r01 16x amplification)."""
+        from ..functions.arrays import binary_column_to_matrix
+
+        ids = batch.column("doc_id").to_numpy()
+        sigs = binary_column_to_matrix(batch.column("sig"), np.int64,
+                                       bands * rows)
+        nb = len(ids)
+        keys = np.empty((nb, bands), dtype=np.int64)
+        for i in range(nb):
+            keys[i] = T.band_keys(sigs[i].view(np.uint64), bands,
+                                  rows).astype(np.int64)
+        return pa.table({
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), nb)),
+            "key": pa.array(keys.ravel()),
+            "doc_id": pa.array(np.repeat(ids.astype(np.int64), bands)),
+        })
+    return fn
 
 
 LSH_MAX_BUCKET = 200
 
 
-def _lsh_pairs(group: pa.Table) -> pa.Table:
+def _lsh_candidates(group: pa.Table) -> pa.Table:
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})
     if group.num_rows > LSH_MAX_BUCKET:
         # oversized bucket: a band key shared by this many documents is
         # not a near-dup signal (hash pileup); skip — standard LSH
         # bucket-size cap, keeps the stage sub-quadratic
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "est_sim": pa.array([], pa.float64())})
-    ids = group.column("doc_id").to_numpy()
-    sigs = np.asarray(group.column("sig").to_pylist(), dtype=np.int64)
-    order = np.argsort(ids, kind="stable")
-    ids = ids[order]
-    sigs = sigs[order]
+        return empty
+    ids = np.unique(group.column("doc_id").to_numpy())
     m = len(ids)
     if m < 2:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "est_sim": pa.array([], pa.float64())})
+        return empty
     ai, bi = np.triu_indices(m, 1)
-    est = (sigs[ai] == sigs[bi]).mean(axis=1)
-    keep = ids[ai] != ids[bi]
     return pa.table({
-        "doc_a": pa.array(ids[ai][keep], pa.int64()),
-        "doc_b": pa.array(ids[bi][keep], pa.int64()),
-        "est_sim": pa.array(est[keep], pa.float64()),
+        "doc_a": pa.array(ids[ai], pa.int64()),
+        "doc_b": pa.array(ids[bi], pa.int64()),
+        "n": pa.array(np.ones(len(ai), dtype=np.int64)),
     })
 
 
 def minhash_lsh_pairs(docs_ds, *, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 128,
                       bands: int = 16, threshold: float = 0.6):
-    """Near-dup candidate pairs via MinHash banding; similarity is
-    estimated from full-signature agreement; deduplicated across bands
-    by a groupby on the pair."""
-    rows = docs_ds.map_batches(minhash_rows, batch_format="pyarrow",
-                               fn_kwargs={"id_col": id_col,
-                                          "text_col": text_col,
-                                          "k": k, "bands": bands})
-    pairs = rows.groupby(["band", "key"]).map_groups(
-        _lsh_pairs, batch_format="pyarrow")
+    """Near-dup pairs via MinHash banding.
 
-    def thresh(batch: pa.Table) -> pa.Table:
-        keep = np.nonzero(batch.column("est_sim").to_numpy() >= threshold)[0]
-        return batch.take(pa.array(keep, pa.int64()))
+    Shape: per-doc signature (once) -> id-only band rows -> bucket
+    candidate pairs -> cross-band dedup (tree combine) -> signatures
+    re-joined for the *candidates only* (two hash joins, bounded by the
+    candidate count) -> similarity estimated from full-signature
+    agreement -> threshold."""
+    from ..functions.arrays import binary_column_to_matrix
+    from .agg import tree_sum
 
-    cand = pairs.map_batches(thresh, batch_format="pyarrow")
-    # dedup identical pairs found in multiple bands (tree combine, max)
-    from .agg import tree_agg
+    sigs = docs_ds.map_batches(
+        minhash_sig_rows, batch_format="pyarrow",
+        fn_kwargs={"id_col": id_col, "text_col": text_col,
+                   "k": k}).materialize()
+    band_r = sigs.map_batches(_band_rows(bands, k // bands),
+                              batch_format="pyarrow")
+    cand = band_r.groupby(["band", "key"]).map_groups(
+        _lsh_candidates, batch_format="pyarrow")
+    uniq = tree_sum(cand, ["doc_a", "doc_b"], ["n"]).materialize()
+    j1 = uniq.join(sigs, "inner", num_partitions=4,
+                   on=("doc_a",), right_on=("doc_id",)).materialize()
+    j2 = j1.rename_columns({"sig": "sig_a"}).join(
+        sigs, "inner", num_partitions=4,
+        on=("doc_b",), right_on=("doc_id",)).materialize()
 
-    return tree_agg(cand, ["doc_a", "doc_b"], [("est_sim", "max")])
+    def estimate(batch: pa.Table) -> pa.Table:
+        sa = binary_column_to_matrix(batch.column("sig_a"), np.int64, k)
+        sb = binary_column_to_matrix(batch.column("sig"), np.int64, k)
+        est = ((sa == sb).mean(axis=1) if len(sa)
+               else np.empty(0, dtype=np.float64))
+        keep = np.nonzero(est >= threshold)[0]
+        out = batch.select(["doc_a", "doc_b"]).take(
+            pa.array(keep, pa.int64()))
+        return out.append_column("est_sim",
+                                 pa.array(est[keep], pa.float64()))
+
+    return j2.map_batches(estimate, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -44,8 +44,9 @@ def members_table(vertex_arrays, kind: str = "line",
 
 
 def _member_arrays(batch: pa.Table):
-    col = batch.column("vertices").to_pylist()
-    return [np.asarray(v, dtype=np.float64) for v in col]
+    from ..functions.arrays import nested_vertices_to_arrays
+
+    return nested_vertices_to_arrays(batch.column("vertices"))
 
 
 class _GeomJoin:

@@ -1,0 +1,94 @@
+"""Sessionization as sort + vectorized segment partials.
+
+The r01 implementation used ``groupby(user).map_groups`` with one Python
+call and a 1-row Arrow table per user — correct, but at 10^9 users the
+per-group overhead dominates. This shape is fully vectorized:
+
+1. global sort by (user, ts) — one all-to-all shuffle;
+2. per sorted block, a vectorized partial per (user, block): n_events,
+   inner session bounds (gap > gap_us), first/last ts — all numpy
+   segment reductions, no per-user work;
+3. one vectorized merge of the partials (sorted by (user, first_ts),
+   adjacent same-user partials stitched with a junction-gap check).
+
+The merge input is ~n_users rows (plus one extra row per user that
+straddles a block boundary). Here it runs as a single block; at
+10^12-row scale the identical stitch logic applies per hash partition
+of users, with only block-boundary users needing the junction pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _segments(u: np.ndarray):
+    """Start/end indices of equal-value runs in a sorted key array."""
+    if len(u) == 0:
+        return (np.empty(0, dtype=np.int64),) * 2
+    new = np.nonzero(u[1:] != u[:-1])[0] + 1
+    starts = np.concatenate([[0], new])
+    ends = np.concatenate([new, [len(u)]])
+    return starts, ends
+
+
+def sessionize(ds, *, user_col: str = "user_id", ts_col: str = "ts",
+               gap_us: int):
+    """(user_id, n_events, n_sessions) with a new session whenever the
+    idle gap between consecutive events exceeds ``gap_us``."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        u = batch.column(user_col).to_numpy(zero_copy_only=False)
+        ts = batch.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        starts, ends = _segments(u)
+        if len(starts) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "n_bounds": pa.array([], pa.int64()),
+                             "first_ts": pa.array([], pa.int64()),
+                             "last_ts": pa.array([], pa.int64())})
+        # bound[i] — a session break between rows i and i+1 of one user
+        same = u[1:] == u[:-1]
+        bound = same & ((ts[1:] - ts[:-1]) > gap_us)
+        cb = np.concatenate([[0], np.cumsum(bound)])
+        n_bounds = cb[ends - 1] - cb[starts]
+        return pa.table({
+            "user_id": pa.array(u[starts].astype(np.int64)),
+            "n_events": pa.array(ends - starts),
+            "n_bounds": pa.array(n_bounds.astype(np.int64)),
+            "first_ts": pa.array(ts[starts]),
+            "last_ts": pa.array(ts[ends - 1]),
+        })
+
+    parts = (ds.sort([user_col, ts_col])
+             .map_batches(partials, batch_format="pyarrow"))
+
+    def merge(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        ne = batch.column("n_events").to_numpy()
+        nb = batch.column("n_bounds").to_numpy()
+        ft = batch.column("first_ts").to_numpy()
+        lt = batch.column("last_ts").to_numpy()
+        order = np.lexsort((ft, u))
+        u, ne, nb, ft, lt = u[order], ne[order], nb[order], ft[order], lt[order]
+        starts, ends = _segments(u)
+        if len(starts) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64())})
+        same = u[1:] == u[:-1]
+        junction = same & ((ft[1:] - lt[:-1]) > gap_us)
+        ce = np.concatenate([[0], np.cumsum(ne)])
+        cb = np.concatenate([[0], np.cumsum(nb)])
+        cj = np.concatenate([[0], np.cumsum(junction)])
+        n_events = ce[ends] - ce[starts]
+        n_bounds = (cb[ends] - cb[starts]) + (cj[ends - 1] - cj[starts])
+        return pa.table({
+            "user_id": pa.array(u[starts].astype(np.int64)),
+            "n_events": pa.array(n_events.astype(np.int64)),
+            "n_sessions": pa.array((n_bounds + 1).astype(np.int64)),
+        })
+
+    return parts.repartition(1).map_batches(merge, batch_format="pyarrow")

@@ -230,3 +230,72 @@ class TestHLL:
         ds = ray.data.from_arrow(pa.table({"u": pa.array(vals)})).repartition(8)
         est = approx_distinct(ds, "u")
         assert abs(est - 3000) / 3000 < 0.06
+
+
+class TestSessionize:
+    def test_matches_per_user_brute_force(self):
+        import ray.data
+
+        from karta_ray.stages.session import sessionize
+
+        rng = np.random.RandomState(41)
+        n_users, gap = 37, 1800 * 1_000_000
+        users = rng.randint(0, n_users, 2000)
+        ts = rng.randint(0, 10**12, 2000)
+        tbl = pa.table({
+            "user_id": pa.array(users.astype(np.int64)),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+        })
+        # many blocks -> users straddle block boundaries after the sort
+        ds = ray.data.from_arrow(tbl).repartition(7)
+        got = sessionize(ds, gap_us=gap).to_pandas().set_index("user_id")
+        for u in np.unique(users):
+            t = np.sort(ts[users == u])
+            n_sessions = 1 + int((np.diff(t) > gap).sum())
+            assert int(got.loc[u, "n_events"]) == int((users == u).sum())
+            assert int(got.loc[u, "n_sessions"]) == n_sessions, u
+
+    def test_quality_counts_match_arrow_path(self):
+        # the Arrow-compute doc_quality must equal the scalar kernel
+        import pyarrow.compute as pc
+
+        from karta_ray.functions.text import quality_counts
+
+        texts = ["hello world. one, two, 3 4, end.", "", "no punct",
+                 "1,2.3 4.5, six", "a" * 100 + ". , 9"]
+        text = pa.array(texts)
+        total = pc.cast(pc.utf8_length(text), pa.int64())
+
+        def count_of(sub):
+            return pc.subtract(total, pc.cast(pc.utf8_length(
+                pc.replace_substring(text, sub, "")), pa.int64()))
+
+        digits = pc.subtract(total, pc.cast(pc.utf8_length(
+            pc.replace_substring_regex(text, "[0-9]", "")), pa.int64()))
+        for i, t in enumerate(texts):
+            want = quality_counts(t)
+            assert (total[i].as_py(), count_of(" ")[i].as_py(),
+                    count_of(".")[i].as_py(), count_of(",")[i].as_py(),
+                    digits[i].as_py()) == want
+
+    def test_blocked_neardup_matches_broadcast(self):
+        import ray.data
+
+        from karta_ray.functions.arrays import matrix_to_list_column
+        from karta_ray.stages.ann import (cosine_neardup_blocked,
+                                          cosine_neardup_pairs)
+
+        rng = np.random.RandomState(13)
+        n, d = 200, 16
+        base = rng.randn(20, d)
+        mat = np.repeat(base, 10, axis=0) + 0.35 * rng.randn(n, d)
+        ids = np.arange(n)
+        tbl = pa.table({"vec_id": pa.array(ids.astype(np.int64)),
+                        "embedding": matrix_to_list_column(mat)})
+        ds = ray.data.from_arrow(tbl).repartition(5)
+        tau = 0.8
+        got = cosine_neardup_blocked(ds, tau, nblocks=3).to_pandas()
+        want = cosine_neardup_pairs(ds, ids, mat, tau).to_pandas()
+        gset = set(zip(got.vec_a, got.vec_b))
+        wset = set(zip(want.vec_a, want.vec_b))
+        assert gset == wset and len(gset) > 50

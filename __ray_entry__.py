@@ -27,8 +27,10 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from karta_ray.pipelines import queries as Q
+    from karta_ray.pipelines import queries2 as Q2
 
     return {
+        **Q2.new_queries(),
         "tile_assign": Q.q_tile_assign,
         "pip_join": Q.q_pip_join,
         "pip_agg": Q.q_pip_agg,
@@ -61,5 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from karta_ray.pipelines import queries as Q
+    from karta_ray.pipelines import queries2 as Q2
 
-    return Q.oracle_sqls()
+    # queries2 also upgrades lang_id from rows-only to oracle-checked
+    return {**Q.oracle_sqls(), **Q2.new_oracle_sqls()}

@@ -44,11 +44,23 @@ def _dist_az_walk(crs):
     return dist, az, walk
 
 
+def segment_lengths(verts):
+    """Planar per-segment lengths as ``sqrt(dx*dx + dy*dy)`` — written
+    with explicit sqrt (NOT np.hypot, which is only faithfully rounded
+    and can differ by 1 ulp) so results are bit-identical to any engine
+    computing the textbook formula (the DuckDB oracle certifies this
+    kernel)."""
+    verts = np.asarray(verts, dtype=np.float64)
+    dx = np.diff(verts[:, 0])
+    dy = np.diff(verts[:, 1])
+    return np.sqrt(dx * dx + dy * dy)
+
+
 def cumulength(verts, crs=crsmod.Cartesian):
     """Cumulative arc length per vertex (geometry.py:875-888)."""
     verts = np.asarray(verts, dtype=np.float64)
     if crs.kind == "cartesian":
-        seg = np.hypot(np.diff(verts[:, 0]), np.diff(verts[:, 1]))
+        seg = segment_lengths(verts)
     else:
         dist, _, _ = _dist_az_walk(crs)
         seg = np.array([dist(*verts[i, :2], *verts[i + 1, :2])

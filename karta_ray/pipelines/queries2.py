@@ -1,0 +1,832 @@
+"""Round-2 oracle queries: DuckDB-checked coverage for the SURVEY §2
+operators that round 1 certified only with pytest goldens — geometry-set
+joins (touching/within), intersection points, line/ring measures,
+nearest-on-chain, stencils, bilinear sampling, layer union, language ID,
+crossing counts.
+
+Parity strategy (same rules as queries.py):
+- every derived vertex is an exact small integer (mod arithmetic on
+  table keys), so cross products / winding terms / interval tests are
+  exact and any summation order agrees;
+- float outputs appear only where BOTH sides compute the identical IEEE
+  op sequence on those exact inputs (single sqrt / single division);
+- float accumulations (cumsum, float SUM) are never compared — numpy's
+  pairwise summation and DuckDB's aggregation order differ (verified
+  empirically), so oracles compare per-row values or exact-integer sums
+  only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .queries import GRID_T, PTS_SQL, _synthetic_grid
+
+# ---------------------------------------------------------------------------
+# Derived layers (integer vertices)
+# ---------------------------------------------------------------------------
+
+# polylines from part: 80 lines, vertices ordered by p_partkey
+LINE_MOD, LINE_XM, LINE_XR, LINE_YM, LINE_YR = 80, 7919, 401, 104729, 321
+# rings from customer: 50 rings
+RING_MOD, RING_XM, RING_XR, RING_YM, RING_YR = 50, 6151, 201, 13007, 161
+# geometry-set members: one 2-vertex segment per customer key in
+# [-40, 40] — member size independent of scale factor, so touching /
+# within / intersection results stay non-trivial at every sf
+GEOM_V1 = (3571, 9973)
+GEOM_V2 = (7001, 4523)
+
+# concave integer target polygon (arrowhead) for touching/within/
+# intersection queries
+TARGET_POLY = np.array([(-40.0, -20.0), (0.0, 50.0), (40.0, -20.0),
+                        (0.0, 10.0)])
+
+# integer zigzag chain for the nearest-on-chain query
+NEAREST_CHAIN = np.array([(-150.0, -60.0), (-90.0, 40.0), (-30.0, -40.0),
+                          (30.0, 60.0), (90.0, -50.0), (150.0, 30.0)])
+
+
+def _derive_int(key, mult, rng, half):
+    key = np.asarray(key, dtype=np.int64)
+    return ((key * mult) % rng - half).astype(np.float64)
+
+
+def _vertex_ds(sf_dir, table, key_col, mod, xm, xr, ym, yr):
+    """Dataset of (gid, ord=key, x, y) rows with integer coords."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                               columns=[key_col])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        key = batch.column(key_col).to_numpy().astype(np.int64)
+        return pa.table({
+            "gid": pa.array(key % mod),
+            "ord": pa.array(key),
+            "x": pa.array(_derive_int(key, xm, xr, (xr - 1) // 2)),
+            "y": pa.array(_derive_int(key, ym, yr, (yr - 1) // 2)),
+        })
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def _group_vertices(ds):
+    """groupby(gid) -> one row per geometry with its ordered vertex
+    array (list<fixed_size_list<f64,2>> members-table layout)."""
+    from ..stages.geomjoin import members_table
+
+    def build(group: pa.Table) -> pa.Table:
+        order = np.argsort(group.column("ord").to_numpy(), kind="stable")
+        v = np.column_stack([group.column("x").to_numpy()[order],
+                             group.column("y").to_numpy()[order]])
+        gid = int(group.column("gid")[0].as_py())
+        return members_table([v], kind="line", start_id=gid)
+
+    return ds.groupby("gid").map_groups(build, batch_format="pyarrow")
+
+
+def _line_sql(mod, xm, xr, ym, yr, table="part", key="p_partkey"):
+    return f"""
+  SELECT {key} % {mod} AS gid, {key} AS ord,
+         CAST(({key} * {xm}) % {xr} - {(xr - 1) // 2} AS DOUBLE) AS x,
+         CAST(({key} * {ym}) % {yr} - {(yr - 1) // 2} AS DOUBLE) AS y
+  FROM {table}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 1. Per-segment planar lengths (length/cumulength building block)
+# ---------------------------------------------------------------------------
+
+def q_line_segments(sf_dir: str):
+    """(line_id, seg_idx, seg_len, seg2): per-segment planar length via
+    kernels.lines.segment_lengths (sqrt of an exact integer), plus the
+    exact integer squared length."""
+    from ..kernels.lines import segment_lengths
+
+    ds = _vertex_ds(sf_dir, "part", "p_partkey",
+                    LINE_MOD, LINE_XM, LINE_XR, LINE_YM, LINE_YR)
+
+    def segs(group: pa.Table) -> pa.Table:
+        order = np.argsort(group.column("ord").to_numpy(), kind="stable")
+        x = group.column("x").to_numpy()[order]
+        y = group.column("y").to_numpy()[order]
+        if len(x) < 2:
+            return pa.table({"line_id": pa.array([], pa.int64()),
+                             "seg_idx": pa.array([], pa.int64()),
+                             "seg_len": pa.array([], pa.float64()),
+                             "seg2": pa.array([], pa.int64())})
+        verts = np.column_stack([x, y])
+        sl = segment_lengths(verts)
+        dx = np.diff(x)
+        dy = np.diff(y)
+        gid = int(group.column("gid")[0].as_py())
+        m = len(sl)
+        return pa.table({
+            "line_id": pa.array(np.full(m, gid, np.int64)),
+            "seg_idx": pa.array(np.arange(m, dtype=np.int64)),
+            "seg_len": pa.array(sl, pa.float64()),
+            "seg2": pa.array((dx * dx + dy * dy).astype(np.int64)),
+        })
+
+    return ds.groupby("gid").map_groups(segs, batch_format="pyarrow")
+
+
+LINE_SEGMENTS_SQL = f"""
+WITH v AS ({_line_sql(LINE_MOD, LINE_XM, LINE_XR, LINE_YM, LINE_YR)}),
+s AS (
+  SELECT gid,
+         row_number() OVER (PARTITION BY gid ORDER BY ord) - 1 AS seg_idx,
+         lead(x) OVER (PARTITION BY gid ORDER BY ord) - x AS dx,
+         lead(y) OVER (PARTITION BY gid ORDER BY ord) - y AS dy
+  FROM v)
+SELECT gid AS line_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+       sqrt(dx*dx + dy*dy) AS seg_len,
+       CAST(dx*dx + dy*dy AS BIGINT) AS seg2
+FROM s WHERE dx IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Ring measures: planar area, orientation, centroid
+# ---------------------------------------------------------------------------
+
+def q_ring_stats(sf_dir: str):
+    """(ring_id, n_vertices, area, is_cw, cx, cy) over integer-vertex
+    rings — exercises ring_area_planar (x0-anchored shoelace),
+    ring_is_clockwise and ring_centroid; degenerate rings (area 0)
+    excluded on both sides."""
+    from ..kernels.measures import ring_area_planar, ring_centroid
+    from ..kernels.predicates import ring_is_clockwise
+
+    ds = _vertex_ds(sf_dir, "customer", "c_custkey",
+                    RING_MOD, RING_XM, RING_XR, RING_YM, RING_YR)
+
+    def stats(group: pa.Table) -> pa.Table:
+        empty = pa.table({"ring_id": pa.array([], pa.int64()),
+                          "n_vertices": pa.array([], pa.int64()),
+                          "area": pa.array([], pa.float64()),
+                          "is_cw": pa.array([], pa.int64()),
+                          "cx": pa.array([], pa.float64()),
+                          "cy": pa.array([], pa.float64())})
+        order = np.argsort(group.column("ord").to_numpy(), kind="stable")
+        x = group.column("x").to_numpy()[order]
+        y = group.column("y").to_numpy()[order]
+        if len(x) < 3:
+            return empty
+        ring = np.column_stack([x, y])
+        area = ring_area_planar(ring)
+        if area == 0.0:
+            return empty
+        cx, cy = ring_centroid(ring)
+        gid = int(group.column("gid")[0].as_py())
+        return pa.table({
+            "ring_id": pa.array([gid], pa.int64()),
+            "n_vertices": pa.array([len(x)], pa.int64()),
+            "area": pa.array([area], pa.float64()),
+            "is_cw": pa.array([int(ring_is_clockwise(ring))], pa.int64()),
+            "cx": pa.array([cx], pa.float64()),
+            "cy": pa.array([cy], pa.float64()),
+        })
+
+    return ds.groupby("gid").map_groups(stats, batch_format="pyarrow")
+
+
+RING_STATS_SQL = f"""
+WITH v AS ({_line_sql(RING_MOD, RING_XM, RING_XR, RING_YM, RING_YR,
+                      table="customer", key="c_custkey")}),
+w AS (
+  SELECT gid, ord, x, y,
+         lag(x)  OVER (PARTITION BY gid ORDER BY ord) AS xp,
+         lag(y)  OVER (PARTITION BY gid ORDER BY ord) AS yp,
+         lead(x) OVER (PARTITION BY gid ORDER BY ord) AS xn0,
+         lead(y) OVER (PARTITION BY gid ORDER BY ord) AS yn0,
+         first_value(x) OVER (PARTITION BY gid ORDER BY ord) AS xf,
+         first_value(y) OVER (PARTITION BY gid ORDER BY ord) AS yf,
+         last_value(x) OVER (PARTITION BY gid ORDER BY ord
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS xl,
+         last_value(y) OVER (PARTITION BY gid ORDER BY ord
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS yl,
+         MIN(x) OVER (PARTITION BY gid) AS xmin,
+         COUNT(*) OVER (PARTITION BY gid) AS nv
+  FROM v),
+c AS (
+  SELECT gid, ord, x, y, xf, yf, xl, yl, xmin, nv,
+         xp, yp,
+         COALESCE(xn0, xf) AS xn, COALESCE(yn0, yf) AS yn
+  FROM w),
+agg AS (
+  SELECT gid, ANY_VALUE(nv) AS nv,
+         ANY_VALUE(xf) AS xf, ANY_VALUE(yf) AS yf,
+         ANY_VALUE(xl) AS xl, ANY_VALUE(yl) AS yl,
+         ANY_VALUE(xmin) AS xmin,
+         -- open-chain shoelace terms (rows 2..n); closing term added below
+         SUM(CASE WHEN xp IS NULL THEN 0.0
+                  ELSE (0.5*(x + xp) - xmin) * (y - yp) END) AS opensum,
+         -- closed-cycle orientation sum: pair row 1 with the last vertex
+         SUM((x - COALESCE(xp, xl)) * (y + COALESCE(yp, yl))) AS osum,
+         -- closed-cycle centroid terms
+         SUM(x*yn - xn*y) AS crosssum,
+         SUM((x + xn) * (x*yn - xn*y)) AS cxsum,
+         SUM((y + yn) * (x*yn - xn*y)) AS cysum
+  FROM c GROUP BY gid)
+SELECT gid AS ring_id, CAST(nv AS BIGINT) AS n_vertices,
+       ABS((0.5*(xf + xl) - xmin) * (yf - yl) + opensum) AS area,
+       CAST(CASE WHEN osum > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_cw,
+       cxsum / (6.0 * (0.5 * crosssum)) AS cx,
+       cysum / (6.0 * (0.5 * crosssum)) AS cy
+FROM agg
+WHERE nv >= 3 AND ABS((0.5*(xf + xl) - xmin) * (yf - yl) + opensum) <> 0.0
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Layer union with field intersection (karta merge)
+# ---------------------------------------------------------------------------
+
+def q_union_layers(sf_dir: str):
+    """Union of a supplier-derived and a customer-derived point layer;
+    only the common columns (gid, lon, lat) survive (karta merge
+    inner-join field semantics, stages/merge.py)."""
+    import ray.data
+
+    from ..stages.merge import union_layers
+
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey"])
+    cus = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                columns=["c_custkey"])
+
+    def derive_sup(batch: pa.Table) -> pa.Table:
+        k = batch.column("s_suppkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "gid": pa.array(k),
+            "lon": pa.array(((k * 1237) % 360 - 180).astype(np.float64)),
+            "lat": pa.array(((k * 911) % 160 - 80).astype(np.float64)),
+            "srcbias": pa.array(np.full(len(k), 1, np.int64)),
+        })
+
+    def derive_cus(batch: pa.Table) -> pa.Table:
+        k = batch.column("c_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "gid": pa.array(k + 1_000_000),
+            "lon": pa.array(((k * 1783) % 360 - 180).astype(np.float64)),
+            "lat": pa.array(((k * 641) % 160 - 80).astype(np.float64)),
+            "grp": pa.array(k % 7),
+        })
+
+    a = sup.map_batches(derive_sup, batch_format="pyarrow")
+    b = cus.map_batches(derive_cus, batch_format="pyarrow")
+    return union_layers(a, b)
+
+
+UNION_LAYERS_SQL = """
+SELECT s_suppkey AS gid,
+       CAST((s_suppkey * 1237) % 360 - 180 AS DOUBLE) AS lon,
+       CAST((s_suppkey * 911) % 160 - 80 AS DOUBLE) AS lat
+FROM supplier
+UNION ALL
+SELECT c_custkey + 1000000 AS gid,
+       CAST((c_custkey * 1783) % 360 - 180 AS DOUBLE) AS lon,
+       CAST((c_custkey * 641) % 160 - 80 AS DOUBLE) AS lat
+FROM customer
+"""
+
+# ---------------------------------------------------------------------------
+# 4. Nearest point on a chain (shortest_distance_to building block)
+# ---------------------------------------------------------------------------
+
+def q_point_to_line(sf_dir: str):
+    """(keys, d2): squared distance from every derived point to the
+    NEAREST_CHAIN polyline — per-segment planar projection via
+    kernels.lines.nearest_on_segments_planar (integer chain vertices,
+    identical single-division op sequence), min over segments."""
+    from ..kernels.lines import nearest_on_segments_planar
+    from .queries import points_ds
+
+    ds = points_ds(sf_dir)
+    x0 = NEAREST_CHAIN[:-1, 0]
+    y0 = NEAREST_CHAIN[:-1, 1]
+    x1 = NEAREST_CHAIN[1:, 0]
+    y1 = NEAREST_CHAIN[1:, 1]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        d2min = np.full(len(lon), np.inf)
+        for s in range(len(x0)):
+            xn, yn, _ = nearest_on_segments_planar(
+                lon, lat, x0[s], y0[s], x1[s], y1[s])
+            dxp = lon - xn
+            dyp = lat - yn
+            d2 = dxp * dxp + dyp * dyp
+            d2min = np.minimum(d2min, d2)
+        out = batch.select(["l_orderkey", "l_linenumber"])
+        return out.append_column("d2", pa.array(d2min, pa.float64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _chain_segments_sql(chain) -> str:
+    rows = []
+    for i in range(len(chain) - 1):
+        rows.append(f"({chain[i][0]!r}, {chain[i][1]!r}, "
+                    f"{chain[i + 1][0]!r}, {chain[i + 1][1]!r})")
+    return ",\n    ".join(rows)
+
+
+def point_to_line_sql() -> str:
+    return f"""
+WITH pts AS ({PTS_SQL}),
+segs(x0, y0, x1, y1) AS (VALUES
+    {_chain_segments_sql(NEAREST_CHAIN)}),
+npts AS (SELECT row_number() OVER () AS rid, * FROM pts),
+proj AS (
+  SELECT p.rid, p.l_orderkey, p.l_linenumber,
+         p.lon - (s.x0 + LEAST(GREATEST(
+             ((p.lon - s.x0)*(s.x1 - s.x0) + (p.lat - s.y0)*(s.y1 - s.y0))
+             / ((s.x1 - s.x0)*(s.x1 - s.x0) + (s.y1 - s.y0)*(s.y1 - s.y0)),
+             0.0), 1.0) * (s.x1 - s.x0)) AS dxp,
+         p.lat - (s.y0 + LEAST(GREATEST(
+             ((p.lon - s.x0)*(s.x1 - s.x0) + (p.lat - s.y0)*(s.y1 - s.y0))
+             / ((s.x1 - s.x0)*(s.x1 - s.x0) + (s.y1 - s.y0)*(s.y1 - s.y0)),
+             0.0), 1.0) * (s.y1 - s.y0)) AS dyp
+  FROM npts p CROSS JOIN segs s)
+-- (l_orderkey, l_linenumber) is NOT unique: group by the synthetic rid
+-- so each input row yields one output row, like the engine
+SELECT ANY_VALUE(l_orderkey) AS l_orderkey,
+       ANY_VALUE(l_linenumber) AS l_linenumber,
+       MIN(dxp*dxp + dyp*dyp) AS d2
+FROM proj GROUP BY rid
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. Intersection points (half-open hit rule, dedup)
+# ---------------------------------------------------------------------------
+
+def _geom_members_ds(sf_dir: str):
+    """One 2-vertex line member per customer key (members-table layout),
+    built directly per batch — no shuffle."""
+    import ray.data
+
+    from ..functions.arrays import matrix_to_list_column
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        k = batch.column("c_custkey").to_numpy().astype(np.int64)
+        x1 = ((k * GEOM_V1[0]) % 81 - 40).astype(np.float64)
+        y1 = ((k * GEOM_V1[1]) % 81 - 40).astype(np.float64)
+        x2 = ((k * GEOM_V2[0]) % 81 - 40).astype(np.float64)
+        y2 = ((k * GEOM_V2[1]) % 81 - 40).astype(np.float64)
+        flat = np.column_stack([x1, y1, x2, y2]).reshape(-1, 2)
+        inner = matrix_to_list_column(flat)
+        offsets = pa.array(np.arange(0, 2 * len(k) + 1, 2,
+                                     dtype=np.int32), pa.int32())
+        verts = pa.ListArray.from_arrays(offsets, inner)
+        return pa.table({
+            "geom_id": pa.array(k),
+            "kind": pa.array(["line"] * len(k), pa.string()),
+            "vertices": verts,
+        })
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+GEOM_SEGS_SQL = f"""
+  SELECT c_custkey AS gid,
+         CAST((c_custkey * {GEOM_V1[0]}) % 81 - 40 AS DOUBLE) AS bx0,
+         CAST((c_custkey * {GEOM_V1[1]}) % 81 - 40 AS DOUBLE) AS by0,
+         CAST((c_custkey * {GEOM_V2[0]}) % 81 - 40 AS DOUBLE) AS bx1,
+         CAST((c_custkey * {GEOM_V2[1]}) % 81 - 40 AS DOUBLE) AS by1
+  FROM customer
+"""
+
+
+def q_intersection_points(sf_dir: str):
+    """All intersection points of each customer-derived member segment
+    with the TARGET_POLY ring (stages/geomjoin.intersection_points:
+    brute-force segment pairs, (0 < t <= 1) half-open rule, exact dedup
+    on (x, y))."""
+    from ..stages.geomjoin import intersection_points
+
+    return intersection_points(_geom_members_ds(sf_dir), TARGET_POLY,
+                               target_kind="polygon")
+
+
+def _ring_edges_sql(ring) -> str:
+    rows = []
+    n = len(ring)
+    for i in range(n):
+        j = (i + 1) % n
+        rows.append(f"({ring[i][0]!r}, {ring[i][1]!r}, "
+                    f"{ring[j][0]!r}, {ring[j][1]!r})")
+    return ",\n    ".join(rows)
+
+
+def intersection_points_sql() -> str:
+    # a = target edge (param t), b = member segment (param u) — the same
+    # operand order as intersections_planar(target, member)
+    return f"""
+WITH msegs AS ({GEOM_SEGS_SQL}),
+tedges(ax0, ay0, ax1, ay1) AS (VALUES
+    {_ring_edges_sql(TARGET_POLY)}),
+hits AS (
+  SELECT m.gid,
+         t.ax0 + ((m.bx0 - t.ax0)*(m.by1 - m.by0)
+                  - (m.by0 - t.ay0)*(m.bx1 - m.bx0))
+               / ((t.ax1 - t.ax0)*(m.by1 - m.by0)
+                  - (t.ay1 - t.ay0)*(m.bx1 - m.bx0))
+               * (t.ax1 - t.ax0) AS xi,
+         t.ay0 + ((m.bx0 - t.ax0)*(m.by1 - m.by0)
+                  - (m.by0 - t.ay0)*(m.bx1 - m.bx0))
+               / ((t.ax1 - t.ax0)*(m.by1 - m.by0)
+                  - (t.ay1 - t.ay0)*(m.bx1 - m.bx0))
+               * (t.ay1 - t.ay0) AS yi,
+         ((m.bx0 - t.ax0)*(m.by1 - m.by0)
+          - (m.by0 - t.ay0)*(m.bx1 - m.bx0))
+         / ((t.ax1 - t.ax0)*(m.by1 - m.by0)
+            - (t.ay1 - t.ay0)*(m.bx1 - m.bx0)) AS t,
+         ((m.bx0 - t.ax0)*(t.ay1 - t.ay0)
+          - (m.by0 - t.ay0)*(t.ax1 - t.ax0))
+         / ((t.ax1 - t.ax0)*(m.by1 - m.by0)
+            - (t.ay1 - t.ay0)*(m.bx1 - m.bx0)) AS u,
+         ((t.ax1 - t.ax0)*(m.by1 - m.by0)
+          - (t.ay1 - t.ay0)*(m.bx1 - m.bx0)) AS rxs
+  FROM msegs m CROSS JOIN tedges t)
+SELECT DISTINCT gid AS geom_id, xi AS x, yi AS y
+FROM hits
+WHERE rxs <> 0 AND t > 0 AND t <= 1 AND u > 0 AND u <= 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. Geometry-set joins: touching / within vs a polygon target
+# ---------------------------------------------------------------------------
+
+def q_geom_touching(sf_dir: str):
+    """Members whose polyline touches TARGET_POLY: contains(first
+    vertex) OR intersects (stages/geomjoin semantics, reference
+    geometry.py:1496-1525). Output: geom_id per passing member."""
+    from ..stages.geomjoin import touching
+
+    out = touching(_geom_members_ds(sf_dir), TARGET_POLY,
+                   target_kind="polygon")
+    return out.select_columns(["geom_id"])
+
+
+def q_geom_within(sf_dir: str):
+    """Members strictly inside TARGET_POLY: contains(first vertex) AND
+    NOT intersects (geometry.py:1527-1544)."""
+    from ..stages.geomjoin import within
+
+    out = within(_geom_members_ds(sf_dir), TARGET_POLY)
+    return out.select_columns(["geom_id"])
+
+
+def _geom_join_sql(mode: str) -> str:
+    """Mirror of _GeomJoin._exact for a polygon target + line members:
+    param-form hit (half-open t/u), collinear-overlap rule, and the
+    winding test on each member's first vertex — all on exact integer
+    coordinates."""
+    hit = """
+      ((t.ax1 - t.ax0)*(m.by1 - m.by0)
+       - (t.ay1 - t.ay0)*(m.bx1 - m.bx0)) <> 0
+      AND ((m.bx0 - t.ax0)*(m.by1 - m.by0)
+           - (m.by0 - t.ay0)*(m.bx1 - m.bx0))
+          / ((t.ax1 - t.ax0)*(m.by1 - m.by0)
+             - (t.ay1 - t.ay0)*(m.bx1 - m.bx0)) > 0
+      AND ((m.bx0 - t.ax0)*(m.by1 - m.by0)
+           - (m.by0 - t.ay0)*(m.bx1 - m.bx0))
+          / ((t.ax1 - t.ax0)*(m.by1 - m.by0)
+             - (t.ay1 - t.ay0)*(m.bx1 - m.bx0)) <= 1
+      AND ((m.bx0 - t.ax0)*(t.ay1 - t.ay0)
+           - (m.by0 - t.ay0)*(t.ax1 - t.ax0))
+          / ((t.ax1 - t.ax0)*(m.by1 - m.by0)
+             - (t.ay1 - t.ay0)*(m.bx1 - m.bx0)) > 0
+      AND ((m.bx0 - t.ax0)*(t.ay1 - t.ay0)
+           - (m.by0 - t.ay0)*(t.ax1 - t.ax0))
+          / ((t.ax1 - t.ax0)*(m.by1 - m.by0)
+             - (t.ay1 - t.ay0)*(m.bx1 - m.bx0)) <= 1
+    """
+    collinear = """
+      ((t.ax1 - t.ax0)*(m.by1 - m.by0)
+       - (t.ay1 - t.ay0)*(m.bx1 - m.bx0)) = 0
+      AND ((t.ax1 - t.ax0)*(m.by1 - t.ay0)
+           - (t.ay1 - t.ay0)*(m.bx1 - t.ax0)) = 0
+      AND (CASE WHEN t.ax1 - t.ax0 <> 0 THEN
+             (LEAST(t.ax0, t.ax1) <= LEAST(m.bx0, m.bx1)
+              AND LEAST(m.bx0, m.bx1) <= GREATEST(t.ax0, t.ax1))
+             OR (LEAST(t.ax0, t.ax1) <= GREATEST(m.bx0, m.bx1)
+                 AND GREATEST(m.bx0, m.bx1) <= GREATEST(t.ax0, t.ax1))
+             OR (LEAST(m.bx0, m.bx1) <= LEAST(t.ax0, t.ax1)
+                 AND LEAST(t.ax0, t.ax1) <= GREATEST(m.bx0, m.bx1))
+             OR (LEAST(m.bx0, m.bx1) <= GREATEST(t.ax0, t.ax1)
+                 AND GREATEST(t.ax0, t.ax1) <= GREATEST(m.bx0, m.bx1))
+           ELSE
+             (LEAST(t.ay0, t.ay1) <= LEAST(m.by0, m.by1)
+              AND LEAST(m.by0, m.by1) <= GREATEST(t.ay0, t.ay1))
+             OR (LEAST(t.ay0, t.ay1) <= GREATEST(m.by0, m.by1)
+                 AND GREATEST(m.by0, m.by1) <= GREATEST(t.ay0, t.ay1))
+             OR (LEAST(m.by0, m.by1) <= LEAST(t.ay0, t.ay1)
+                 AND LEAST(t.ay0, t.ay1) <= GREATEST(m.by0, m.by1))
+             OR (LEAST(m.by0, m.by1) <= GREATEST(t.ay0, t.ay1)
+                 AND GREATEST(t.ay0, t.ay1) <= GREATEST(m.by0, m.by1))
+           END)
+    """
+    cond = ("(h.gid IS NOT NULL OR COALESCE(w.w, 0) <> 0)"
+            if mode == "touching"
+            else "(COALESCE(w.w, 0) <> 0 AND h.gid IS NULL)")
+    return f"""
+WITH msegs AS ({GEOM_SEGS_SQL}),
+tedges(ax0, ay0, ax1, ay1) AS (VALUES
+    {_ring_edges_sql(TARGET_POLY)}),
+hits AS (
+  SELECT DISTINCT m.gid
+  FROM msegs m CROSS JOIN tedges t
+  WHERE ({hit}) OR ({collinear})),
+wind AS (
+  SELECT f.gid,
+         SUM(CASE
+             WHEN t.ay0 <= f.by0 AND f.by0 < t.ay1
+                  AND (t.ax1 - t.ax0)*(f.by0 - t.ay0)
+                      - (f.bx0 - t.ax0)*(t.ay1 - t.ay0) > 0 THEN 1
+             WHEN t.ay0 > f.by0 AND f.by0 >= t.ay1
+                  AND (t.ax1 - t.ax0)*(f.by0 - t.ay0)
+                      - (f.bx0 - t.ax0)*(t.ay1 - t.ay0) < 0 THEN -1
+             ELSE 0 END) AS w
+  FROM msegs f CROSS JOIN tedges t GROUP BY f.gid)
+SELECT g.gid AS geom_id
+FROM (SELECT DISTINCT gid FROM msegs) g
+LEFT JOIN hits h ON h.gid = g.gid
+LEFT JOIN wind w ON w.gid = g.gid
+WHERE {cond}
+"""
+
+# ---------------------------------------------------------------------------
+# 7. Crossing-number counts (intersection.pyx:624-674 semantics)
+# ---------------------------------------------------------------------------
+
+CROSS_RING = np.array([(-60.0, -40.0), (20.0, -70.0), (70.0, 10.0),
+                       (10.0, 60.0), (-30.0, 20.0), (-80.0, 30.0)])
+
+
+def q_count_crossings(sf_dir: str):
+    """(keys, n_crossings): upward ray crossings of every derived point
+    against the closed CROSS_RING — kernels.predicates.count_crossings
+    with its slope-sign-dependent half-open interval rules."""
+    from ..kernels.predicates import count_crossings
+    from .queries import points_ds
+
+    ds = points_ds(sf_dir)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        n = count_crossings(lon, lat, CROSS_RING, ring=True)
+        out = batch.select(["l_orderkey", "l_linenumber"])
+        return out.append_column("n_crossings",
+                                 pa.array(n.astype(np.int64), pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def count_crossings_sql() -> str:
+    # mirrors count_crossings: m = dy/dx (nonvertical), y = y0+m*(px-x0),
+    # above, slope-sign-dependent (min,max] / [min,max) interval on y,
+    # the 1e-15 horizontal special case, and the (xlo, xhi] x-interval
+    return f"""
+WITH pts AS ({PTS_SQL}),
+npts AS (SELECT row_number() OVER () AS rid, * FROM pts),
+edges(x0, y0, x1, y1) AS (VALUES
+    {_ring_edges_sql(CROSS_RING)}),
+h AS (
+  SELECT p.rid, p.l_orderkey, p.l_linenumber, p.lon AS px, p.lat AS py,
+         e.x0, e.y0, e.x1, e.y1,
+         (e.y1 - e.y0) / (e.x1 - e.x0) AS m,
+         e.y0 + (e.y1 - e.y0) / (e.x1 - e.x0) * (p.lon - e.x0) AS y
+  FROM npts p CROSS JOIN edges e WHERE e.x0 <> e.x1),
+c AS (
+  SELECT rid, l_orderkey, l_linenumber,
+         CASE WHEN y >= py
+                   AND ((CASE WHEN m > 0
+                         THEN LEAST(y0, y1) < y AND y <= GREATEST(y0, y1)
+                         ELSE LEAST(y0, y1) <= y AND y < GREATEST(y0, y1)
+                         END)
+                        OR (ABS(y0 - y1) < 1e-15 AND ABS(y - y0) < 1e-15))
+                   AND LEAST(x0, x1) < px AND px <= GREATEST(x0, x1)
+              THEN 1 ELSE 0 END AS hit
+  FROM h)
+-- group by the synthetic rid: duplicate (l_orderkey, l_linenumber)
+-- input rows each yield their own output row, like the engine
+SELECT ANY_VALUE(l_orderkey) AS l_orderkey,
+       ANY_VALUE(l_linenumber) AS l_linenumber,
+       CAST(SUM(hit) AS BIGINT) AS n_crossings
+FROM c GROUP BY rid
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. Halo-tiled stencil: ESRI slope over the synthetic grid
+# ---------------------------------------------------------------------------
+
+def q_slope_stencil(sf_dir: str):
+    """(i, j, slope) for interior cells of the synthetic 1-degree grid,
+    computed through the halo-tiled stencil stage (64x64 tiles,
+    overlap=1). Exact parity: the ESRI 3x3 numerators are integers, the
+    /8 divisions are dyadic, sqrt is correctly rounded."""
+    from ..stages.raster import stencil_stage, tiles_dataset
+
+    vals = _synthetic_grid()
+    tiles = tiles_dataset(vals, GRID_T, tile=64, overlap=1)
+    out = stencil_stage(tiles, "slope")
+    ny, nx = vals.shape
+
+    def rows(batch: pa.Table) -> pa.Table:
+        from ..stages.raster import _block
+
+        out_i = []
+        out_j = []
+        out_v = []
+        for r in range(batch.num_rows):
+            i0 = batch.column("i0")[r].as_py()
+            j0 = batch.column("j0")[r].as_py()
+            bny = batch.column("ny")[r].as_py()
+            bnx = batch.column("nx")[r].as_py()
+            block = _block(batch, r)[:bny, :bnx]
+            jj, ii = np.meshgrid(np.arange(bnx) + j0, np.arange(bny) + i0)
+            keep = ((ii >= 1) & (ii <= ny - 2)
+                    & (jj >= 1) & (jj <= nx - 2))
+            out_i.append(ii[keep].astype(np.int64))
+            out_j.append(jj[keep].astype(np.int64))
+            out_v.append(block[keep])
+        return pa.table({
+            "i": pa.array(np.concatenate(out_i)),
+            "j": pa.array(np.concatenate(out_j)),
+            "slope": pa.array(np.concatenate(out_v), pa.float64()),
+        })
+
+    return out.map_batches(rows, batch_format="pyarrow")
+
+
+SLOPE_STENCIL_SQL = """
+WITH cells AS (
+  SELECT i.range AS i, j.range AS j
+  FROM range(0, 160) i CROSS JOIN range(0, 360) j),
+g AS (SELECT i, j, CAST((i*31 + j*17) % 97 AS DOUBLE) AS v FROM cells),
+st AS (
+  SELECT c.i, c.j,
+         ((2*ge.v + gne.v + gse.v) - (2*gw.v + gnw.v + gsw.v)) / (8.0*1.0)
+           AS ddx,
+         ((2*gs.v + gse.v + gsw.v) - (2*gn.v + gnw.v + gne.v)) / (8.0*1.0)
+           AS ddy
+  FROM cells c
+  JOIN g ge  ON ge.i  = c.i     AND ge.j  = c.j + 1
+  JOIN g gw  ON gw.i  = c.i     AND gw.j  = c.j - 1
+  JOIN g gn  ON gn.i  = c.i - 1 AND gn.j  = c.j
+  JOIN g gs  ON gs.i  = c.i + 1 AND gs.j  = c.j
+  JOIN g gne ON gne.i = c.i - 1 AND gne.j = c.j + 1
+  JOIN g gnw ON gnw.i = c.i - 1 AND gnw.j = c.j - 1
+  JOIN g gse ON gse.i = c.i + 1 AND gse.j = c.j + 1
+  JOIN g gsw ON gsw.i = c.i + 1 AND gsw.j = c.j - 1
+  WHERE c.i BETWEEN 1 AND 158 AND c.j BETWEEN 1 AND 358)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       sqrt(ddx*ddx + ddy*ddy) AS slope
+FROM st
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. Bilinear sampling (crfuncs.pyx:118-157 incl. the _lohi bracket)
+# ---------------------------------------------------------------------------
+
+def q_grid_sample_bilinear(sf_dir: str):
+    """(keys, value): bilinear sample of the synthetic grid at every
+    derived point through the broadcast-grid sampling stage; rows whose
+    2x2 support leaves the grid are dropped (nodata) on both sides."""
+    from ..stages.raster import sample_points
+    from .queries import points_ds
+
+    ds = points_ds(sf_dir)
+    out = sample_points(ds, _synthetic_grid(), GRID_T, mode="bilinear")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy()
+        keep = ~np.isnan(v)
+        t = batch.select(["l_orderkey", "l_linenumber", "value"])
+        return t.filter(pa.array(keep))
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
+def grid_sample_bilinear_sql() -> str:
+    # I = (lat + 80) - 0.5, J = (lon + 180) - 0.5 (positions() with this
+    # transform reduces to exactly these ops); _lohi bracket mirrored
+    lohi = """
+  b AS (
+    SELECT *,
+           CASE WHEN floor(I) <> I THEN floor(I)
+                WHEN I <> 0 THEN I - 1 ELSE I END AS i0f,
+           CASE WHEN floor(I) <> I THEN floor(I) + 1
+                WHEN I <> 0 THEN I ELSE I + 1 END AS i1f,
+           CASE WHEN floor(J) <> J THEN floor(J)
+                WHEN J <> 0 THEN J - 1 ELSE J END AS j0f,
+           CASE WHEN floor(J) <> J THEN floor(J) + 1
+                WHEN J <> 0 THEN J ELSE J + 1 END AS j1f
+    FROM ij)
+"""
+    val = ("CAST((CAST({i} AS BIGINT)*31 + CAST({j} AS BIGINT)*17) % 97 "
+           "AS DOUBLE)")
+    return f"""
+WITH pts AS ({PTS_SQL}),
+ij AS (
+  SELECT l_orderkey, l_linenumber,
+         (lat + 80.0) - 0.5 AS I, (lon + 180.0) - 0.5 AS J
+  FROM pts),
+{lohi}
+SELECT l_orderkey, l_linenumber,
+       {val.format(i='i0f', j='j0f')} * (i1f - I) * (j1f - J)
+     + {val.format(i='i1f', j='j0f')} * (I - i0f) * (j1f - J)
+     + {val.format(i='i0f', j='j1f')} * (i1f - I) * (J - j0f)
+     + {val.format(i='i1f', j='j1f')} * (I - i0f) * (J - j0f) AS value
+FROM b
+WHERE i0f >= 0 AND i1f < 160 AND j0f >= 0 AND j1f < 360
+"""
+
+
+# ---------------------------------------------------------------------------
+# 10. Language-ID oracle (upgrades q_lang_id from rows-only)
+# ---------------------------------------------------------------------------
+
+def lang_id_sql() -> str:
+    """Mirror of functions.text.lang_id: marker-frequency scores over
+    ' ' || lower(text) || ' ', strict argmax in sorted lang order
+    ('und' when every score is 0)."""
+    from ..functions.text import _LANG_MARKERS, _LANGS
+
+    score_exprs = []
+    for lang in _LANGS:
+        terms = []
+        for m in _LANG_MARKERS[lang]:
+            esc = m.replace("'", "''")
+            terms.append(f"(length(p) - length(replace(p, '{esc}', '')))"
+                         f" / {len(m)}")
+        score_exprs.append(f"({' + '.join(terms)}) AS s_{lang}")
+    score_cols = ",\n         ".join(score_exprs)
+    best = " , ".join(f"s_{lang}" for lang in _LANGS)
+    case = "\n".join(
+        f"         WHEN s_{lang} = g AND g > 0 THEN '{lang}'"
+        for lang in _LANGS)
+    return f"""
+WITH padded AS (
+  SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+scores AS (
+  SELECT doc_id,
+         {score_cols}
+  FROM padded),
+g AS (SELECT *, GREATEST({best}) AS g FROM scores)
+SELECT doc_id,
+       CASE
+{case}
+         ELSE 'und' END AS pred_lang
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def new_queries() -> dict:
+    return {
+        "line_segments": q_line_segments,
+        "ring_stats": q_ring_stats,
+        "union_layers": q_union_layers,
+        "point_to_line": q_point_to_line,
+        "intersection_points": q_intersection_points,
+        "geom_touching": q_geom_touching,
+        "geom_within": q_geom_within,
+        "count_crossings": q_count_crossings,
+        "slope_stencil": q_slope_stencil,
+        "grid_sample_bilinear": q_grid_sample_bilinear,
+    }
+
+
+def new_oracle_sqls() -> dict:
+    return {
+        "line_segments": LINE_SEGMENTS_SQL,
+        "ring_stats": RING_STATS_SQL,
+        "union_layers": UNION_LAYERS_SQL,
+        "point_to_line": point_to_line_sql(),
+        "intersection_points": intersection_points_sql(),
+        "geom_touching": _geom_join_sql("touching"),
+        "geom_within": _geom_join_sql("within"),
+        "count_crossings": count_crossings_sql(),
+        "slope_stencil": SLOPE_STENCIL_SQL,
+        "grid_sample_bilinear": grid_sample_bilinear_sql(),
+        "lang_id": lang_id_sql(),
+    }

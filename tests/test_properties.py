@@ -75,3 +75,57 @@ def test_sphere_forward_inverse_consistency(lon, lat, az, dist):
     lon2, lat2, _ = geodesy.sphere_forward(lon, lat, az, dist)
     _, _, d = geodesy.sphere_inverse(lon, lat, float(lon2), float(lat2))
     assert abs(float(d) - dist) < max(2.0, 2e-5 * dist)
+
+
+class TestRound2Queries:
+    """Light structural checks for the queries2 oracle surface (full
+    value parity is asserted by scripts/check_oracles.py at sf0.01 and
+    sf0.001 against DuckDB)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_ring_stats_matches_brute_force(self):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from karta_ray.kernels.measures import (ring_area_planar,
+                                                ring_centroid)
+        from karta_ray.pipelines import queries2 as Q2
+
+        got = Q2.q_ring_stats(self.SF).to_pandas().set_index("ring_id")
+        k = pq.read_table(f"{self.SF}/customer.parquet",
+                          columns=["c_custkey"]).column(0).to_numpy()
+        k = k.astype(np.int64)
+        gid = k % Q2.RING_MOD
+        x = ((k * Q2.RING_XM) % Q2.RING_XR - (Q2.RING_XR - 1) // 2)
+        y = ((k * Q2.RING_YM) % Q2.RING_YR - (Q2.RING_YR - 1) // 2)
+        for g in np.unique(gid):
+            order = np.argsort(k[gid == g])
+            ring = np.column_stack([x[gid == g][order],
+                                    y[gid == g][order]]).astype(float)
+            if len(ring) < 3 or ring_area_planar(ring) == 0.0:
+                assert g not in got.index
+                continue
+            assert got.loc[g, "area"] == ring_area_planar(ring)
+            cx, cy = ring_centroid(ring)
+            assert got.loc[g, "cx"] == cx and got.loc[g, "cy"] == cy
+
+    def test_union_layers_field_intersection(self):
+        from karta_ray.pipelines import queries2 as Q2
+
+        out = Q2.q_union_layers(self.SF)
+        assert sorted(out.schema().names) == ["gid", "lat", "lon"]
+        assert out.count() > 0
+
+    def test_slope_stencil_matches_full_grid(self):
+        import numpy as np
+
+        from karta_ray.kernels.raster import slope
+        from karta_ray.pipelines import queries2 as Q2
+        from karta_ray.pipelines.queries import _synthetic_grid
+
+        got = Q2.q_slope_stencil(self.SF).to_pandas()
+        full = slope(_synthetic_grid())
+        vals = full[got["i"].to_numpy(), got["j"].to_numpy()]
+        assert (got["slope"].to_numpy() == vals).all()
+        assert len(got) == 158 * 358

@@ -115,16 +115,98 @@ class EllipsoidalCRS(CRS):
         return self.inverse(x1, y1, x2, y2)[2]
 
 
+class WebMercatorCRS(CRS):
+    """Web / spherical Mercator (EPSG:3857) as a *projected* CRS — the
+    reference's ``WebMercator`` (karta/crs.py:384-390: ``+proj=merc
+    +a=6378137 +b=6378137``).
+
+    Semantics mirror the reference's ``ProjectedCRS`` (crs.py:248-298,
+    which extends CartesianCRS): geometry predicates and distances are
+    PLANAR in projected meters, while ``forward``/``inverse`` solve
+    geodesics on the underlying sphere (``parse_ellipsoid`` of the merc
+    string yields a = b = 6378137, so pyproj's Geod degenerates to
+    spherical formulas) with azimuths normalized to [-180, 180).
+
+    The projection itself is the exact closed form — the same math the
+    engine's tile index uses (kernels/tiles.py:28-48):
+
+        x = a * lon_rad,  y = a * ln(tan(pi/4 + lat_rad/2))
+    """
+
+    name = "webmercator"
+    kind = "cartesian"  # planar dispatch, like the reference's ProjectedCRS
+    A = 6378137.0
+
+    def __init__(self):
+        self.a = self.A
+        self.b = self.A
+
+    def project(self, x, y, inverse: bool = False):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        if inverse:
+            lon = x / self.A * 180.0 / np.pi
+            lat = (2.0 * np.arctan(np.exp(y / self.A)) - np.pi / 2.0) \
+                * 180.0 / np.pi
+            return lon, lat
+        with np.errstate(divide="ignore", invalid="ignore"):
+            px = self.A * x * np.pi / 180.0
+            py = self.A * np.log(np.tan(np.pi / 4.0 + y * np.pi / 360.0))
+        return px, py
+
+    def forward(self, x, y, az, dist):
+        x2, y2, baz = geodesy.sphere_forward(x, y, az, dist, radius=self.A)
+        return x2, y2, (np.asarray(baz) + 180.0) % 360.0 - 180.0
+
+    def inverse(self, x1, y1, x2, y2):
+        az, baz, dist = geodesy.sphere_inverse(x1, y1, x2, y2, radius=self.A)
+        return ((np.asarray(az) + 180.0) % 360.0 - 180.0,
+                (np.asarray(baz) + 180.0) % 360.0 - 180.0, dist)
+
+    def transform(self, other, x, y):
+        """Re-project coordinates into another CRS (reference
+        ``ProjectedCRS.transform``, crs.py:296-298)."""
+        lon, lat = self.project(x, y, inverse=True)
+        return other.project(lon, lat)
+
+
 Cartesian = CartesianCRS()
 SphericalEarth = SphericalCRS()
 SphericalEarth.name = "spherical"
 LonLatWGS84 = EllipsoidalCRS(karney.WGS84_A, karney.WGS84_B, name="lonlat_wgs84")
+WebMercator = WebMercatorCRS()
 
 _REGISTRY = {
     "cartesian": Cartesian,
     "spherical": SphericalEarth,
     "lonlat_wgs84": LonLatWGS84,
+    "webmercator": WebMercator,
 }
+
+
+def point_distance(crs, x1, y1, x2, y2, alt1=None, alt2=None):
+    """Vectorized point-to-point distance with the reference's 3-way CRS
+    dispatch (karta/vector/geometry.py:260-314): geodesic inverse for
+    geographical CRSs, planar otherwise; when BOTH sides carry an
+    altitude (rank-3 vertices), the vertical offset is added in
+    quadrature (geometry.py:311-313 — z assumed in the same units as
+    the horizontal metric, i.e. meters)."""
+    crs = get_crs(crs)
+    x1 = np.asarray(x1, dtype=np.float64)
+    y1 = np.asarray(y1, dtype=np.float64)
+    x2 = np.asarray(x2, dtype=np.float64)
+    y2 = np.asarray(y2, dtype=np.float64)
+    if crs.is_geographical:
+        dist = np.asarray(crs.inverse(x1, y1, x2, y2)[2], dtype=np.float64)
+    else:
+        dx = x2 - x1
+        dy = y2 - y1
+        dist = np.sqrt(dx * dx + dy * dy)
+    if alt1 is not None and alt2 is not None:
+        dz = np.asarray(alt2, dtype=np.float64) - np.asarray(
+            alt1, dtype=np.float64)
+        dist = np.sqrt(dist * dist + dz * dz)
+    return dist
 
 
 def get_crs(name):

@@ -146,13 +146,28 @@ def rotate(verts, theta_deg, origin=(0.0, 0.0)):
 
 
 def apply_affine(verts, M):
-    """Apply a 2x3 affine matrix [[a, b, tx], [c, d, ty]]
-    (geometry.py:483-553)."""
+    """Apply a 2x3 (planar) or 3x4 (rank-3) affine matrix
+    (geometry.py:483-553; 3x4 semantics geometry.py:204-230: rank-2
+    vertices are lifted with z = 0 and stay rank 2, rank-3 vertices get
+    a transformed z)."""
     verts = np.asarray(verts, dtype=np.float64)
     M = np.asarray(M, dtype=np.float64)
     out = verts.copy()
-    out[:, 0] = M[0, 0] * verts[:, 0] + M[0, 1] * verts[:, 1] + M[0, 2]
-    out[:, 1] = M[1, 0] * verts[:, 0] + M[1, 1] * verts[:, 1] + M[1, 2]
+    if M.shape == (2, 3):
+        out[:, 0] = M[0, 0] * verts[:, 0] + M[0, 1] * verts[:, 1] + M[0, 2]
+        out[:, 1] = M[1, 0] * verts[:, 0] + M[1, 1] * verts[:, 1] + M[1, 2]
+        return out
+    if M.shape != (3, 4):
+        raise ValueError(f"invalid affine matrix size: {M.shape}")
+    rank3 = verts.shape[1] >= 3
+    z = verts[:, 2] if rank3 else np.zeros(len(verts))
+    out[:, 0] = (M[0, 0] * verts[:, 0] + M[0, 1] * verts[:, 1]
+                 + M[0, 2] * z + M[0, 3])
+    out[:, 1] = (M[1, 0] * verts[:, 0] + M[1, 1] * verts[:, 1]
+                 + M[1, 2] * z + M[1, 3])
+    if rank3:
+        out[:, 2] = (M[2, 0] * verts[:, 0] + M[2, 1] * verts[:, 1]
+                     + M[2, 2] * z + M[2, 3])
     return out
 
 

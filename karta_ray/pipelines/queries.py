@@ -372,7 +372,8 @@ def q_dedup_exact(sf_dir: str):
     from ..stages.agg import tree_agg
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+                               columns=["doc_id", "text"],
+                               override_num_blocks=32)
 
     def digest(batch: pa.Table) -> pa.Table:
         d = [hashlib.blake2b(t.encode(), digest_size=16).digest()
@@ -507,7 +508,8 @@ def q_ngram_jaccard(sf_dir: str):
     from ..stages.dedup import ngram_jaccard_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+                               columns=["doc_id", "text"],
+                               override_num_blocks=32)
     return ngram_jaccard_pairs(ds, threshold=NGRAM_TAU, max_df=NGRAM_MAX_DF)
 
 
@@ -519,7 +521,8 @@ def q_minhash_lsh(sf_dir: str):
     from ..stages.dedup import minhash_lsh_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+                               columns=["doc_id", "text"],
+                               override_num_blocks=32)
     return minhash_lsh_pairs(ds, threshold=0.5)
 
 
@@ -530,7 +533,8 @@ def q_simhash(sf_dir: str):
     from ..stages.dedup import simhash_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+                               columns=["doc_id", "text"],
+                               override_num_blocks=32)
     return simhash_pairs(ds, max_hamming=3)
 
 
@@ -597,7 +601,8 @@ def q_doc_quality(sf_dir: str):
     import ray.data
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+                               columns=["doc_id", "text"],
+                               override_num_blocks=32)
 
     def fn(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
@@ -629,7 +634,8 @@ def q_doc_fingerprint(sf_dir: str):
     from ..functions.text import md5_hex
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+                               columns=["doc_id", "text"],
+                               override_num_blocks=32)
 
     def fn(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -649,7 +655,8 @@ def q_lang_id(sf_dir: str):
     from ..functions.text import lang_id
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+                               columns=["doc_id", "text"],
+                               override_num_blocks=32)
 
     def fn(batch: pa.Table) -> pa.Table:
         return pa.table({

@@ -1,0 +1,287 @@
+"""Pure-Python ESRI shapefile reader (.shp + .shx + .dbf), no GDAL.
+
+Replaces the reference's OGR-backed ``read_shapefile``
+(karta/vector/read.py:167-209, karta/vector/_shp.py:106-180) for the
+formats its test suite exercises — including the shapelib conformance
+corpus (tests/data/shapefile/shapelib/*, reference
+tests/shapefile_tests.py:251-328):
+
+- shape types: Null(0), Point(1/11/21), MultiPoint(8/18/28),
+  PolyLine(3/13/23), Polygon(5/15/25), MultiPatch(31)
+- structural mapping mirrors OGR's: a 1-part PolyLine record reads as a
+  ``Line``, multi-part as ``Multiline``; a Polygon record with one
+  clockwise (outer) ring reads as ``Polygon`` (counter-clockwise rings
+  are holes), with several outer rings as ``Multipolygon``; MultiPatch
+  reads as ``Multipolygon``
+- Z coordinates are preserved (rank 3); M values are parsed past and
+  dropped, like the reference pipeline (karta geometries carry x, y, z)
+- dBase III attributes: C -> str (stripped), N/F -> int/float,
+  L -> bool, D -> ISO date string; deleted records skipped
+
+The binary layout implemented here is the public ESRI shapefile spec
+(main-file header: 100 bytes, big-endian file code 9994 + little-endian
+shape type and bbox; records: big-endian (number, content-words) header
+then little-endian shape payload).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+
+SHAPE_NAMES = {
+    0: "Null", 1: "Point", 11: "PointZ", 21: "PointM",
+    8: "MultiPoint", 18: "MultiPointZ", 28: "MultiPointM",
+    3: "PolyLine", 13: "PolyLineZ", 23: "PolyLineM",
+    5: "Polygon", 15: "PolygonZ", 25: "PolygonM",
+    31: "MultiPatch",
+}
+
+_POINT_TYPES = {1, 11, 21}
+_MULTIPOINT_TYPES = {8, 18, 28}
+_POLYLINE_TYPES = {3, 13, 23}
+_POLYGON_TYPES = {5, 15, 25}
+_Z_TYPES = {11, 13, 15, 18, 31}
+
+
+def _read_shp_records(path: str):
+    """Yield (shape_type, payload bytes) per record of a .shp file."""
+    with open(path, "rb") as f:
+        header = f.read(100)
+        if len(header) < 100 or struct.unpack(">i", header[:4])[0] != 9994:
+            raise ValueError(f"{path}: not a shapefile (bad file code)")
+        file_words = struct.unpack(">i", header[24:28])[0]
+        file_bytes = 2 * file_words
+        pos = 100
+        while pos < file_bytes:
+            rec_header = f.read(8)
+            if len(rec_header) < 8:
+                break
+            _, content_words = struct.unpack(">ii", rec_header)
+            payload = f.read(2 * content_words)
+            pos += 8 + 2 * content_words
+            if len(payload) < 4:
+                continue
+            (stype,) = struct.unpack("<i", payload[:4])
+            yield stype, payload
+
+
+def _parse_points_block(payload, off, n):
+    xy = np.frombuffer(payload, dtype="<f8", count=2 * n,
+                       offset=off).reshape(n, 2)
+    return xy, off + 16 * n
+
+
+def _parse_z_block(payload, off, n):
+    """Optional Z (or M) block: [min, max] + n doubles. Returns (vals,
+    newoff) or (None, off) when the record ends first."""
+    need = 16 + 8 * n
+    if off + need > len(payload):
+        return None, off
+    vals = np.frombuffer(payload, dtype="<f8", count=n, offset=off + 16)
+    return vals, off + need
+
+
+def _ring_is_cw(ring: np.ndarray) -> bool:
+    x = ring[:, 0]
+    y = ring[:, 1]
+    return float(np.sum((np.roll(x, -1) - x) * (np.roll(y, -1) + y))) > 0
+
+
+def _parse_record(stype: int, payload: bytes):
+    """One .shp record -> geo-interface-style dict (or None for Null)."""
+    if stype == 0:
+        return None
+    if stype in _POINT_TYPES:
+        x, y = struct.unpack("<2d", payload[4:20])
+        coords = [x, y]
+        if stype == 11 and len(payload) >= 28:  # PointZ: x y z (m)
+            coords.append(struct.unpack("<d", payload[20:28])[0])
+        return {"type": "Point", "coordinates": coords}
+
+    if stype in _MULTIPOINT_TYPES:
+        (n,) = struct.unpack("<i", payload[36:40])
+        xy, off = _parse_points_block(payload, 40, n)
+        z = None
+        if stype == 18:
+            z, off = _parse_z_block(payload, off, n)
+        pts = np.column_stack([xy, z]) if z is not None else xy
+        return {"type": "MultiPoint", "coordinates": pts}
+
+    if stype in _POLYLINE_TYPES or stype in _POLYGON_TYPES or stype == 31:
+        nparts, npoints = struct.unpack("<2i", payload[36:44])
+        off = 44
+        parts = np.frombuffer(payload, dtype="<i4", count=nparts, offset=off)
+        off += 4 * nparts
+        part_types = None
+        if stype == 31:  # MultiPatch: per-part type codes
+            part_types = np.frombuffer(payload, dtype="<i4", count=nparts,
+                                       offset=off)
+            off += 4 * nparts
+        xy, off = _parse_points_block(payload, off, npoints)
+        z = None
+        if stype in _Z_TYPES:
+            z, off = _parse_z_block(payload, off, npoints)
+        pts = np.column_stack([xy, z]) if z is not None else xy
+        bounds = np.append(parts, npoints)
+        chains = [pts[bounds[i]:bounds[i + 1]] for i in range(nparts)
+                  if bounds[i + 1] > bounds[i]]
+        del part_types
+        if stype in _POLYLINE_TYPES:
+            if len(chains) == 1:
+                return {"type": "Line", "coordinates": chains[0]}
+            return {"type": "Multiline", "coordinates": chains}
+        # Polygon / MultiPatch: organize rings into outer + holes by
+        # winding (shapefile outer rings are clockwise)
+        outers = []
+        holes = []
+        for ring in chains:
+            (outers if _ring_is_cw(ring[:, :2]) else holes).append(ring)
+        if not outers:  # degenerate: treat every ring as its own outer
+            outers, holes = chains, []
+        if len(outers) == 1 and stype != 31:
+            return {"type": "Polygon", "coordinates": [outers[0]] + holes}
+        polys = []
+        for o in outers:
+            my_holes = []
+            for h in holes:
+                from ..kernels.predicates import points_in_ring
+
+                if len(h) and points_in_ring(
+                        h[:1, 0], h[:1, 1], o[:, :2])[0]:
+                    my_holes.append(h)
+            polys.append([o] + my_holes)
+        return {"type": "Multipolygon", "coordinates": polys}
+
+    raise TypeError(f"shape type {stype} ({SHAPE_NAMES.get(stype)}) "
+                    "not handled")
+
+
+def read_dbf(path: str):
+    """dBase III attribute records -> (fieldnames, list of dicts)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if len(data) < 32:
+        return [], []
+    n_records = struct.unpack("<i", data[4:8])[0]
+    header_size, record_size = struct.unpack("<2h", data[8:12])
+    fields = []
+    off = 32
+    while off < header_size - 1 and data[off] != 0x0D:
+        desc = data[off:off + 32]
+        name = desc[:11].split(b"\x00")[0].decode("ascii", "replace")
+        ftype = chr(desc[11])
+        flen = desc[16]
+        fdec = desc[17]
+        fields.append((name, ftype, flen, fdec))
+        off += 32
+
+    def convert(ftype, fdec, raw: bytes):
+        text = raw.decode("latin-1").strip()
+        if ftype in ("N", "F"):
+            if not text:
+                return None
+            try:
+                return (float(text) if (fdec > 0 or "." in text)
+                        else int(text))
+            except ValueError:  # dBase overflow markers like '******'
+                return None
+        if ftype == "L":
+            return text.upper() in ("T", "Y")
+        if ftype == "D" and len(text) == 8:
+            return f"{text[:4]}-{text[4:6]}-{text[6:8]}"
+        return text
+
+    records = []
+    pos = header_size
+    for _ in range(n_records):
+        rec = data[pos:pos + record_size]
+        pos += record_size
+        if len(rec) < record_size or rec[:1] == b"*":  # deleted
+            continue
+        row = {}
+        o = 1
+        for name, ftype, flen, fdec in fields:
+            row[name] = convert(ftype, fdec, rec[o:o + flen])
+            o += flen
+        records.append(row)
+    return [f[0] for f in fields], records
+
+
+def read_shapefile(path: str):
+    """Read ``path`` (with or without the .shp extension) -> list of
+    geometry dicts {type, coordinates, properties}. Null-shape records
+    are skipped (matching OGR, which yields no geometry for them)."""
+    base, ext = os.path.splitext(path)
+    if ext.lower() not in ("", ".shp"):
+        base = path
+    shp_path = base + ".shp"
+    dbf_path = base + ".dbf"
+    props = []
+    if os.path.exists(dbf_path):
+        _, props = read_dbf(dbf_path)
+    out = []
+    for i, (stype, payload) in enumerate(_read_shp_records(shp_path)):
+        geom = _parse_record(stype, payload)
+        if geom is None:
+            continue
+        geom["properties"] = props[i] if i < len(props) else {}
+        out.append(geom)
+    return out
+
+
+def shapefile_members_table(path: str):
+    """Shapefile -> the engine's members-table Arrow layout
+    (geom_id, kind, vertices) + one column per dBase attribute, ready
+    for the geometry-set join stages. Multi-part geometries contribute
+    one member row per part/ring."""
+    import pyarrow as pa
+
+    geoms = read_shapefile(path)
+    ids = []
+    kinds = []
+    verts = []
+    row_props = []
+
+    def push(gid, kind, chain, props):
+        ids.append(gid)
+        kinds.append(kind)
+        verts.append(np.asarray(chain, dtype=np.float64)[:, :2].tolist())
+        row_props.append(props)
+
+    for gid, g in enumerate(geoms):
+        t = g["type"]
+        if t == "Point":
+            push(gid, "point", [g["coordinates"][:2]], g["properties"])
+        elif t == "MultiPoint":
+            push(gid, "point_set", g["coordinates"], g["properties"])
+        elif t == "Line":
+            push(gid, "line", g["coordinates"], g["properties"])
+        elif t == "Multiline":
+            for c in g["coordinates"]:
+                push(gid, "line", c, g["properties"])
+        elif t == "Polygon":
+            for r, ring in enumerate(g["coordinates"]):
+                push(gid, "polygon" if r == 0 else "hole", ring,
+                     g["properties"])
+        else:  # Multipolygon
+            for rings in g["coordinates"]:
+                for r, ring in enumerate(rings):
+                    push(gid, "polygon" if r == 0 else "hole", ring,
+                         g["properties"])
+
+    table = {
+        "geom_id": pa.array(ids, pa.int64()),
+        "kind": pa.array(kinds, pa.string()),
+        "vertices": pa.array(verts, pa.list_(pa.list_(pa.float64(), 2))),
+    }
+    all_keys = []
+    for p in row_props:
+        for k in p:
+            if k not in all_keys:
+                all_keys.append(k)
+    for k in all_keys:
+        table[k] = pa.array([p.get(k) for p in row_props])
+    return pa.table(table)

@@ -104,7 +104,17 @@ def ngram_jaccard_pairs(docs_ds, *, id_col: str = "doc_id",
         return batch.filter(pa.array(mask))
 
     sizes = counts.map_batches(split_sizes, batch_format="pyarrow")
-    pairs = counts.map_batches(split_pairs, batch_format="pyarrow")
+    pairs = counts.map_batches(split_pairs, batch_format="pyarrow") \
+        .materialize()
+    if pairs.count() == 0:
+        # no candidate pairs at all (e.g. every shingle above the DF
+        # cap): Dataset.join cannot handle a schema-less empty side
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "n_shared": pa.array([], pa.int64())}))
     j1 = pairs.join(sizes, "inner", num_partitions=4,
                     on=("doc_a",), right_on=("doc_id",),
                     right_suffix="_a").materialize()
@@ -195,16 +205,56 @@ def _lsh_candidates(group: pa.Table) -> pa.Table:
     })
 
 
+# above this many docs the signature table stops being broadcastable
+# and est_sim recovery switches to distributed hash joins
+SIG_BROADCAST_MAX_DOCS = 2_000_000  # ~2 GB of signatures
+
+_EST_CHUNK = 8192
+
+
+def _est_matrix_lookup(mat: np.ndarray, ia: np.ndarray,
+                       ib: np.ndarray, k: int) -> np.ndarray:
+    """Chunked signature-agreement estimate via index lookup into a
+    shared (n_docs, k) matrix. Gathers go into preallocated, reused
+    buffers: one big (n_pairs, k) gather would allocate hundreds of MB
+    of fresh pages whose first-touch faults dominate wall time on this
+    host (see kernels/predicates.winding_number)."""
+    n = len(ia)
+    est = np.empty(n, dtype=np.float64)
+    ch = min(_EST_CHUNK, max(n, 1))
+    ba = np.empty((ch, k), dtype=mat.dtype)
+    bb = np.empty((ch, k), dtype=mat.dtype)
+    eq = np.empty((ch, k), dtype=bool)
+    for s in range(0, n, _EST_CHUNK):
+        e = min(s + _EST_CHUNK, n)
+        m = e - s
+        np.take(mat, ia[s:e], axis=0, out=ba[:m])
+        np.take(mat, ib[s:e], axis=0, out=bb[:m])
+        np.equal(ba[:m], bb[:m], out=eq[:m])
+        est[s:e] = eq[:m].mean(axis=1)
+    return est
+
+
 def minhash_lsh_pairs(docs_ds, *, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 128,
                       bands: int = 16, threshold: float = 0.6):
     """Near-dup pairs via MinHash banding.
 
-    Shape: per-doc signature (once) -> id-only band rows -> bucket
-    candidate pairs -> cross-band dedup (tree combine) -> signatures
-    re-joined for the *candidates only* (two hash joins, bounded by the
-    candidate count) -> similarity estimated from full-signature
-    agreement -> threshold."""
+    Shape: per-doc signature (once) -> id-only band rows (24 B/row, no
+    signature amplification through the bucket shuffle) -> bucket
+    candidate pairs -> cross-band dedup (tree combine) -> similarity
+    estimated from full-signature agreement for the candidates only ->
+    threshold.
+
+    Signature recovery for candidates is adaptive: below
+    SIG_BROADCAST_MAX_DOCS the signature matrix is ray.put once and
+    candidate batches look it up with searchsorted (no extra shuffle);
+    above it, candidates hash-join the signature table (two distributed
+    joins, traffic bounded by the candidate count — still far below the
+    16x per-band signature replication this replaced)."""
+    import ray
+    import ray.data
+
     from ..functions.arrays import binary_column_to_matrix
     from .agg import tree_sum
 
@@ -216,18 +266,64 @@ def minhash_lsh_pairs(docs_ds, *, id_col: str = "doc_id",
                               batch_format="pyarrow")
     cand = band_r.groupby(["band", "key"]).map_groups(
         _lsh_candidates, batch_format="pyarrow")
-    uniq = tree_sum(cand, ["doc_a", "doc_b"], ["n"]).materialize()
-    j1 = uniq.join(sigs, "inner", num_partitions=4,
+    uniq = tree_sum(cand, ["doc_a", "doc_b"], ["n"])
+
+    n_docs = sigs.count()
+    if n_docs <= SIG_BROADCAST_MAX_DOCS:
+        # broadcast path: one zero-copy object-store read per task
+        parts = []
+        for batch in sigs.iter_batches(batch_format="pyarrow",
+                                       batch_size=65536):
+            parts.append((batch.column("doc_id").to_numpy(),
+                          binary_column_to_matrix(batch.column("sig"),
+                                                  np.int64, k)))
+        ids = np.concatenate([p[0] for p in parts])
+        mat = np.vstack([p[1] for p in parts])
+        order = np.argsort(ids, kind="stable")
+        ref = ray.put({"ids": ids[order],
+                       "mat": np.ascontiguousarray(mat[order])})
+
+        def estimate_bcast(batch: pa.Table, *, ref=ref) -> pa.Table:
+            data = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            da = batch.column("doc_a").to_numpy()
+            db = batch.column("doc_b").to_numpy()
+            ia = np.searchsorted(data["ids"], da)
+            ib = np.searchsorted(data["ids"], db)
+            est = _est_matrix_lookup(data["mat"], ia, ib, k)
+            keep = np.nonzero(est >= threshold)[0]
+            out = batch.select(["doc_a", "doc_b"]).take(
+                pa.array(keep, pa.int64()))
+            return out.append_column("est_sim",
+                                     pa.array(est[keep], pa.float64()))
+
+        return uniq.map_batches(estimate_bcast, batch_format="pyarrow")
+
+    # join path: Dataset.join cannot handle a schema-less empty side
+    uniq = uniq.materialize()
+    if uniq.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "est_sim": pa.array([], pa.float64())}))
+    j1 = uniq.join(sigs, "inner", num_partitions=8,
                    on=("doc_a",), right_on=("doc_id",)).materialize()
     j2 = j1.rename_columns({"sig": "sig_a"}).join(
-        sigs, "inner", num_partitions=4,
+        sigs, "inner", num_partitions=8,
         on=("doc_b",), right_on=("doc_id",)).materialize()
 
     def estimate(batch: pa.Table) -> pa.Table:
         sa = binary_column_to_matrix(batch.column("sig_a"), np.int64, k)
         sb = binary_column_to_matrix(batch.column("sig"), np.int64, k)
-        est = ((sa == sb).mean(axis=1) if len(sa)
-               else np.empty(0, dtype=np.float64))
+        # sa/sb are buffer views over the batch (no fresh gather); the
+        # chunked equality avoids one big boolean temporary
+        n = len(sa)
+        est = np.empty(n, dtype=np.float64)
+        eq = np.empty((min(_EST_CHUNK, max(n, 1)), k), dtype=bool)
+        for s in range(0, n, _EST_CHUNK):
+            e = min(s + _EST_CHUNK, n)
+            m = e - s
+            np.equal(sa[s:e], sb[s:e], out=eq[:m])
+            est[s:e] = eq[:m].mean(axis=1)
         keep = np.nonzero(est >= threshold)[0]
         out = batch.select(["doc_a", "doc_b"]).take(
             pa.array(keep, pa.int64()))

@@ -236,3 +236,63 @@ class TestDatelineSymmetry:
         assert a0 == pytest.approx((2 * 111194.9) ** 2, rel=1e-3)
         # orientation-independent
         assert measures.ring_area_sphere_exact(ring0[::-1]) == pytest.approx(a0)
+
+
+class TestWebMercator:
+    """EPSG:3857 closed-form goldens (published spherical-Mercator
+    values) + consistency with the engine's tile math."""
+
+    def test_projection_goldens(self):
+        from karta_ray.crs import WebMercator
+
+        x, y = WebMercator.project(180.0, 0.0)
+        assert float(x) == pytest.approx(20037508.342789244, abs=1e-6)
+        assert float(y) == pytest.approx(0.0, abs=1e-9)
+        x, y = WebMercator.project(0.0, 85.05112877980659)
+        assert float(y) == pytest.approx(20037508.342789244, abs=1e-5)
+        x, y = WebMercator.project(-73.985656, 40.748433)  # ESB
+        assert float(x) == pytest.approx(-8236045.54, abs=1.0)
+        assert float(y) == pytest.approx(4975306.29, abs=1.0)
+
+    def test_round_trip(self):
+        from karta_ray.crs import WebMercator
+
+        lon = np.linspace(-179.0, 179.0, 21)
+        lat = np.linspace(-84.0, 84.0, 21)
+        x, y = WebMercator.project(lon, lat)
+        lon2, lat2 = WebMercator.project(x, y, inverse=True)
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    def test_matches_tile_pixel_scale(self):
+        # tile pixel x at zoom z: c*(lon_rad + pi), c = 128/pi*2^z —
+        # an affine rescale of the projected x; verify proportionality
+        from karta_ray.crs import WebMercator
+        from karta_ray.kernels import tiles
+
+        lon = np.array([-120.0, -45.0, 30.0, 150.0])
+        lat = np.array([-70.0, 10.0, 45.0, 80.0])
+        px, py = WebMercator.project(lon, lat)
+        x, y = tiles.tile_xy(lon, lat, 20)
+        c = 128.0 / np.pi * 2.0 ** 20
+        expect_x = np.floor(c * (lon * np.pi / 180.0 + np.pi) / 256.0)
+        assert (x == expect_x.astype(np.int64)).all()
+        # projected y and tile y increase in opposite directions
+        assert (np.diff(py) > 0).all() == (np.diff(y.astype(float)) < 0).all()
+
+    def test_planar_dispatch_and_geodesics(self):
+        from karta_ray.crs import WebMercator
+
+        assert WebMercator.kind == "cartesian"  # ProjectedCRS semantics
+        az, baz, dist = WebMercator.inverse(0.0, 0.0, 90.0, 0.0)
+        assert float(az) == pytest.approx(90.0)
+        assert float(dist) == pytest.approx(np.pi / 2 * 6378137.0, rel=1e-12)
+        x2, y2, baz2 = WebMercator.forward(0.0, 0.0, 90.0,
+                                           np.pi / 2 * 6378137.0)
+        assert float(x2) == pytest.approx(90.0)
+        assert abs(float(baz2)) <= 180.0
+
+    def test_registry(self):
+        from karta_ray.crs import WebMercator, get_crs
+
+        assert get_crs("webmercator") is WebMercator

@@ -189,3 +189,59 @@ class TestWithinDistance:
         verts = np.array([(0.0, 0.0), (1.0, 1.0), (3.0, 1.0)])
         assert within_distance(1.0, 1.5, verts, 0.6)
         assert not within_distance(1.0, 1.5, verts, 0.4)
+
+
+class TestRank3:
+    """Rank-3 (z) semantics per the reference's code paths: distance
+    adds z in quadrature (geometry.py:311-313), shift/rotate pass z
+    through (geometry.py:327-332), 3x4 affine transforms z
+    (geometry.py:204-230)."""
+
+    def test_distance_quadrature_planar(self):
+        from karta_ray.crs import point_distance
+
+        d = point_distance("cartesian", 3.0, 4.0, 6.0, 8.0,
+                           alt1=5.0, alt2=10.0)
+        assert float(d) == pytest.approx(np.sqrt(50.0), rel=1e-15)
+        # without both alts: plain planar
+        d2 = point_distance("cartesian", 3.0, 4.0, 6.0, 8.0)
+        assert float(d2) == 5.0
+
+    def test_distance_quadrature_geodesic(self):
+        from karta_ray.crs import SphericalEarth, point_distance
+
+        base = float(SphericalEarth.inverse(0.0, 0.0, 1.0, 1.0)[2])
+        d = point_distance("spherical", 0.0, 0.0, 1.0, 1.0,
+                           alt1=0.0, alt2=3000.0)
+        assert float(d) == pytest.approx(np.sqrt(base * base + 9e6),
+                                         rel=1e-15)
+
+    def test_shift_rotate_pass_z(self):
+        from karta_ray.kernels.measures import rotate, shift
+
+        v = np.array([[1.0, 2.0, 7.0], [3.0, 4.0, -1.0]])
+        s = shift(v, 10.0, 20.0)
+        assert s[:, 2].tolist() == [7.0, -1.0]
+        r = rotate(v, 90.0)
+        assert r[:, 2].tolist() == [7.0, -1.0]
+
+    def test_affine_3x4(self):
+        from karta_ray.kernels.measures import apply_affine
+
+        # scale z by 2 and lift x by z (geometry.py:219-230 math)
+        M = np.array([[1.0, 0.0, 1.0, 0.0],
+                      [0.0, 1.0, 0.0, 5.0],
+                      [0.0, 0.0, 2.0, 1.0]])
+        v3 = np.array([[2.0, 3.0, 4.0]])
+        out = apply_affine(v3, M)
+        assert out.tolist() == [[6.0, 8.0, 9.0]]
+        # rank-2 input: z treated as 0, output stays rank 2
+        v2 = np.array([[2.0, 3.0]])
+        out2 = apply_affine(v2, M)
+        assert out2.tolist() == [[2.0, 8.0]]
+
+    def test_affine_bad_shape(self):
+        from karta_ray.kernels.measures import apply_affine
+
+        with pytest.raises(ValueError):
+            apply_affine(np.zeros((1, 2)), np.zeros((4, 4)))

@@ -23,6 +23,19 @@ from __future__ import annotations
 import numpy as np
 
 
+def get_nodata(T):
+    """Default NODATA per pixel dtype (karta/raster/grid.py:1233-1257):
+    max for unsigned ints, min for signed ints, NaN for real/complex."""
+    dt = np.dtype(T)
+    if dt.kind == "u":
+        return np.iinfo(dt).max
+    if dt.kind in ("i", "b"):
+        return np.iinfo(dt).min
+    if dt.kind in ("f", "c"):
+        return np.nan
+    raise ValueError(f"No default NODATA value for type {T}")
+
+
 def positions(transform, x, y):
     """Float (row, col) indices of world coords (center-referenced)."""
     x0, y0, dx, dy, sx, sy = transform

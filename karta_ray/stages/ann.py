@@ -100,11 +100,17 @@ def ann_topk(emb_ds, query_ids, query_mat, k: int = 10, *,
     q = {"qids": np.asarray(query_ids, dtype=np.int64),
          "qmat": _normalize(np.asarray(query_mat, dtype=np.float64))}
     ref = ray.put(q)
-    part = emb_ds.map_batches(
-        _TopkScorer,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k,
-                               "exclude_self": exclude_self},
-        batch_format="pyarrow", concurrency=(1, 8), zero_copy_batch=True)
+    cache: dict = {}
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = cache.get("s")
+        if s is None:
+            s = _TopkScorer(ref, k, exclude_self)
+            cache["s"] = s
+        return s(batch)
+
+    part = emb_ds.map_batches(score, batch_format="pyarrow",
+                              zero_copy_batch=True)
     return part.repartition(1).map_batches(_final_topk(k),
                                            batch_format="pyarrow")
 
@@ -169,10 +175,17 @@ def ann_ivf_topk(emb_ds, query_ids, query_mat, k: int = 10, *,
                                  "sim": pa.array([], pa.float64())})
             return pa.concat_tables(outs)
 
-    part = emb_ds.map_batches(
-        Scorer, fn_constructor_kwargs={"ref": ref, "k": k,
-                                       "exclude_self": exclude_self},
-        batch_format="pyarrow", concurrency=(1, 8), zero_copy_batch=True)
+    cache: dict = {}
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = cache.get("s")
+        if s is None:
+            s = Scorer(ref, k, exclude_self)
+            cache["s"] = s
+        return s(batch)
+
+    part = emb_ds.map_batches(score, batch_format="pyarrow",
+                              zero_copy_batch=True)
     return part.repartition(1).map_batches(_final_topk(k),
                                            batch_format="pyarrow")
 

@@ -114,16 +114,34 @@ class _GeomJoin:
         return batch.take(pa.array(keep, pa.int64()))
 
 
+# per-worker cache of constructed stages (same pattern as
+# stages/join.py::_JOINER_CACHE): task-based map_batches gets actor-like
+# state amortization without actor-pool spin-up lag
+_GEOM_CACHE: dict = {}
+
+
+def _cached(cls, ref, *args):
+    key = (cls.__name__, ref.hex() if hasattr(ref, "hex") else id(ref),
+           args)
+    inst = _GEOM_CACHE.get(key)
+    if inst is None:
+        inst = cls(ref, *args)
+        _GEOM_CACHE.clear()  # at most one live target per worker
+        _GEOM_CACHE[key] = inst
+    return inst
+
+
 def geom_join(members_ds, target_verts, *, target_kind: str, mode: str,
               geographical: bool = False):
     """members Dataset x broadcast target geometry -> passing members."""
     ref = ray.put({"verts": np.asarray(target_verts, dtype=np.float64),
                    "kind": target_kind})
-    return members_ds.map_batches(
-        _GeomJoin,
-        fn_constructor_kwargs={"target_ref": ref, "mode": mode,
-                               "geographical": geographical},
-        batch_format="pyarrow", concurrency=(1, 8), zero_copy_batch=True)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return _cached(_GeomJoin, ref, mode, geographical)(batch)
+
+    return members_ds.map_batches(fn, batch_format="pyarrow",
+                                  zero_copy_batch=True)
 
 
 def touching(members_ds, target_verts, target_kind: str, **kw):
@@ -177,8 +195,9 @@ def intersection_points(members_ds, target_verts, target_kind: str = "line",
     (geom_id, x, y)."""
     ref = ray.put({"verts": np.asarray(target_verts, dtype=np.float64),
                    "kind": target_kind})
-    return members_ds.map_batches(
-        _IntersectionPoints,
-        fn_constructor_kwargs={"target_ref": ref,
-                               "keep_duplicates": keep_duplicates},
-        batch_format="pyarrow", concurrency=(1, 8), zero_copy_batch=True)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return _cached(_IntersectionPoints, ref, keep_duplicates)(batch)
+
+    return members_ds.map_batches(fn, batch_format="pyarrow",
+                                  zero_copy_batch=True)

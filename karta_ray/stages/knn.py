@@ -209,11 +209,17 @@ def knn_join(left_ds, right_index: RightIndex, k: int, *,
     joins use :func:`knn_join_coshuffle`.
     """
     ref = ray.put(right_index)
-    return left_ds.map_batches(
-        KnnJoiner,
-        fn_constructor_kwargs={"index_ref": ref, "k": k},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=(1, 8), zero_copy_batch=True)
+    cache: dict = {}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        j = cache.get("j")
+        if j is None:
+            j = KnnJoiner(ref, k=k)
+            cache["j"] = j
+        return j(batch)
+
+    return left_ds.map_batches(fn, batch_format="pyarrow",
+                               batch_size=batch_size, zero_copy_batch=True)
 
 
 def knn_join_coshuffle(left_ds, right_ds, k: int, *, zoom: int,

@@ -32,13 +32,24 @@ TILE = 256
 
 
 def tiles_from_grid(values, transform, *, grid_id=0, band=0,
-                    tile=TILE, overlap=0) -> pa.Table:
-    """Split a (ny, nx) array into tile records (optionally with halo)."""
-    values = np.asarray(values, dtype=np.float64)
+                    tile=TILE, overlap=0, dtype=None) -> pa.Table:
+    """Split a (ny, nx) array into tile records (optionally with halo).
+
+    The pixel dtype is PRESERVED in the records (a ``dtype`` column) —
+    uint8 imagery ships 1 byte/px through the object store, not the 8
+    bytes/px a forced float64 copy would cost (reference multi-dtype
+    bands, karta/raster/_gdal.py:68-112). Pass ``dtype`` to re-encode.
+    """
+    values = np.asarray(values)
+    if dtype is not None:
+        values = values.astype(dtype)
+    if values.dtype == object:
+        values = values.astype(np.float64)
     gny, gnx = values.shape
     cols = {k: [] for k in ("grid_id", "band", "tile_i", "tile_j", "i0",
                             "j0", "ny", "nx", "pt", "pl", "pny", "pnx",
                             "transform", "values")}
+    dtype_str = values.dtype.str
     for ti, i0 in enumerate(range(0, gny, tile)):
         for tj, j0 in enumerate(range(0, gnx, tile)):
             ny = min(tile, gny - i0)
@@ -68,6 +79,7 @@ def tiles_from_grid(values, transform, *, grid_id=0, band=0,
             "pt", "pl", "pny", "pnx")},
         "transform": pa.array(cols["transform"], pa.list_(pa.float64(), 6)),
         "values": pa.array(cols["values"], pa.binary()),
+        "dtype": pa.array([dtype_str] * len(cols["values"]), pa.string()),
     })
 
 
@@ -77,11 +89,35 @@ def tiles_dataset(values, transform, **kw):
     return ray.data.from_arrow(tiles_from_grid(values, transform, **kw))
 
 
+def write_tiles_parquet(tiles_ds, path: str):
+    """Persist a tile-record Dataset as partitioned parquet — the
+    engine's GeoTiff replacement (no GDAL in env): dtype-preserving,
+    resumable (one file per block), round-trippable via
+    :func:`read_tiles_parquet`."""
+    tiles_ds.write_parquet(path)
+
+
+def read_tiles_parquet(path: str):
+    import ray.data
+
+    return ray.data.read_parquet(path)
+
+
+def _set_dtype_col(table: pa.Table, dtype_str: str) -> pa.Table:
+    if "dtype" not in table.column_names:
+        return table
+    return table.set_column(
+        table.schema.get_field_index("dtype"), "dtype",
+        pa.array([dtype_str] * table.num_rows, pa.string()))
+
+
 def _block(batch: pa.Table, r: int) -> np.ndarray:
     pny = batch.column("pny")[r].as_py()
     pnx = batch.column("pnx")[r].as_py()
+    dt = (batch.column("dtype")[r].as_py()
+          if "dtype" in batch.column_names else "<f8")
     return np.frombuffer(batch.column("values")[r].as_py(),
-                         dtype=np.float64).reshape(pny, pnx)
+                         dtype=np.dtype(dt)).reshape(pny, pnx)
 
 
 def grid_from_tiles(table: pa.Table, shape=None):
@@ -94,7 +130,10 @@ def grid_from_tiles(table: pa.Table, shape=None):
     pl = table.column("pl").to_numpy()
     if shape is None:
         shape = (int((i0 + ny).max()), int((j0 + nx).max()))
-    out = np.full(shape, np.nan)
+    dt = np.dtype(table.column("dtype")[0].as_py()
+                  if "dtype" in table.column_names and table.num_rows
+                  else "<f8")
+    out = np.full(shape, RK.get_nodata(dt), dtype=dt)
     transform = None
     for r in range(table.num_rows):
         transform = tuple(table.column("transform")[r].as_py())
@@ -122,7 +161,9 @@ def stencil_stage(tiles_ds, kernel: str, *, res=(1.0, 1.0),
             pl = batch.column("pl")[r].as_py()
             block = _block(batch, r)
             result = fn(block, res=res, **kernel_kwargs)
-            own = np.ascontiguousarray(result[pt:pt + ny, pl:pl + nx])
+            own = np.ascontiguousarray(
+                result[pt:pt + ny, pl:pl + nx].astype(np.float64,
+                                                      copy=False))
             vals.append(own.tobytes())
         out = batch.set_column(batch.schema.get_field_index("values"),
                                "values", pa.array(vals, pa.binary()))
@@ -131,8 +172,9 @@ def stencil_stage(tiles_ds, kernel: str, *, res=(1.0, 1.0),
         out = out.set_column(out.schema.get_field_index("pl"), "pl", zeros)
         out = out.set_column(out.schema.get_field_index("pny"), "pny",
                              out.column("ny"))
-        return out.set_column(out.schema.get_field_index("pnx"), "pnx",
-                              out.column("nx"))
+        out = out.set_column(out.schema.get_field_index("pnx"), "pnx",
+                             out.column("nx"))
+        return _set_dtype_col(out, "<f8")
 
     return tiles_ds.map_batches(apply, batch_format="pyarrow",
                                 zero_copy_batch=True)
@@ -147,8 +189,9 @@ def apply_stage(tiles_ds, func):
             block = _block(batch, r)
             vals.append(np.ascontiguousarray(
                 func(block).astype(np.float64)).tobytes())
-        return batch.set_column(batch.schema.get_field_index("values"),
-                                "values", pa.array(vals, pa.binary()))
+        out = batch.set_column(batch.schema.get_field_index("values"),
+                               "values", pa.array(vals, pa.binary()))
+        return _set_dtype_col(out, "<f8")
 
     return tiles_ds.map_batches(apply, batch_format="pyarrow",
                                 zero_copy_batch=True)
@@ -187,11 +230,20 @@ def sample_points(points_ds, values, transform, *, mode="bilinear",
     batch (karta ``Grid.sample``, grid.py:971-1033)."""
     ref = ray.put({"values": np.asarray(values, dtype=np.float64),
                    "transform": tuple(transform), "nodata": nodata})
-    return points_ds.map_batches(
-        GridSampler,
-        fn_constructor_kwargs={"grid_ref": ref, "mode": mode,
-                               "x_col": x_col, "y_col": y_col},
-        batch_format="pyarrow", concurrency=(1, 8), zero_copy_batch=True)
+
+    # task-based with a per-worker sampler cache: actor-like state
+    # amortization without actor-pool spin-up lag (join.py pattern)
+    cache: dict = {}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = cache.get("s")
+        if s is None:
+            s = GridSampler(ref, mode=mode, x_col=x_col, y_col=y_col)
+            cache["s"] = s
+        return s(batch)
+
+    return points_ds.map_batches(fn, batch_format="pyarrow",
+                                 zero_copy_batch=True)
 
 
 def profile_stage(line_verts, dx, values, transform, crs, *, mode="bilinear"):

@@ -1,6 +1,7 @@
 """GeoJSON fixture loader + multimodal stage plumbing."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from karta_ray.sources.geojson import read_geojson, to_geojson
@@ -121,3 +122,102 @@ class TestGeoJSONReferenceFixtures:
     def test_us_capitols_points(self):
         out = read_geojson(f"{self.DIR}/us-capitols.json")
         assert out["points"].num_rows >= 50
+
+
+class TestGPX:
+    GPX_PATH = "/root/reference/tests/data/gpx_input/fishermans-trail.gpx"
+
+    def test_read_tracks(self):
+        import os
+
+        import pytest as _pytest
+
+        if not os.path.exists(self.GPX_PATH):
+            _pytest.skip("reference gpx fixture absent")
+        from karta_ray.sources.gpx import read_gpx_tracks
+
+        t = read_gpx_tracks(self.GPX_PATH)
+        assert t.num_rows >= 1
+        assert t.column("kind")[0].as_py() == "line"
+        verts = t.column("vertices")[0].as_py()
+        # reference rounds attributes to 6 decimals (_gpx.py:85-86)
+        assert verts[0] == [-123.00702, 49.32947]
+        ele = t.column("ele")[0].as_py()
+        assert ele[0] == 73.189
+        assert "Fisherman's Trail" in t.column("name")[0].as_py()
+
+    def test_track_lengths_positive(self):
+        import os
+
+        import pytest as _pytest
+
+        if not os.path.exists(self.GPX_PATH):
+            _pytest.skip("reference gpx fixture absent")
+        from karta_ray import crs
+        from karta_ray.sources.gpx import read_gpx_tracks, track_lengths
+
+        t = read_gpx_tracks(self.GPX_PATH)
+        lens = track_lengths(t, crs.SphericalEarth)
+        assert (lens > 0).all()
+
+
+class TestRasterDtypes:
+    def test_get_nodata_defaults(self):
+        # grid.py:1233-1257 semantics
+        from karta_ray.kernels.raster import get_nodata
+
+        assert get_nodata(np.uint8) == 255
+        assert get_nodata(np.uint16) == 65535
+        assert get_nodata(np.int16) == -32768
+        assert get_nodata(np.int64) == np.iinfo(np.int64).min
+        assert np.isnan(get_nodata(np.float32))
+        with pytest.raises(ValueError):
+            get_nodata(np.dtype("U4"))
+
+    def test_uint8_tiles_round_trip(self):
+        from karta_ray.stages.raster import (grid_from_tiles,
+                                             tiles_from_grid)
+
+        rng = np.random.RandomState(3)
+        vals = rng.randint(0, 255, (70, 90)).astype(np.uint8)
+        t = tiles_from_grid(vals, (0, 0, 1, 1, 0, 0), tile=32)
+        # 1 byte per pixel on the wire, not 8
+        total = sum(len(v.as_py()) for v in t.column("values"))
+        assert total == 70 * 90
+        back, transform = grid_from_tiles(t)
+        assert back.dtype == np.uint8
+        assert (back == vals).all()
+
+    def test_stencil_on_int_grid_outputs_float(self):
+        import ray.data
+
+        from karta_ray.kernels.raster import slope
+        from karta_ray.stages.raster import (grid_from_tiles,
+                                             stencil_stage, tiles_dataset)
+
+        vals = (np.arange(48 * 48).reshape(48, 48) % 17).astype(np.int32)
+        tiles = tiles_dataset(vals, (0, 0, 1, 1, 0, 0), tile=16, overlap=1)
+        out = stencil_stage(tiles, "slope")
+        table = pa.concat_tables(list(out.iter_batches(
+            batch_format="pyarrow", batch_size=1024)))
+        back, _ = grid_from_tiles(table)
+        assert back.dtype == np.float64
+        np.testing.assert_array_equal(back, slope(vals.astype(np.float64)))
+
+    def test_parquet_tiles_round_trip(self, tmp_path):
+        from karta_ray.stages.raster import (grid_from_tiles,
+                                             read_tiles_parquet,
+                                             tiles_dataset,
+                                             write_tiles_parquet)
+
+        vals = np.arange(40 * 60, dtype=np.uint16).reshape(40, 60)
+        ds = tiles_dataset(vals, (5, 6, 1, 2, 0, 0), tile=32)
+        path = str(tmp_path / "tiles_pq")
+        write_tiles_parquet(ds, path)
+        back_ds = read_tiles_parquet(path)
+        table = pa.concat_tables(list(back_ds.iter_batches(
+            batch_format="pyarrow", batch_size=1024)))
+        back, transform = grid_from_tiles(table)
+        assert back.dtype == np.uint16
+        assert (back == vals).all()
+        assert transform == (5.0, 6.0, 1.0, 2.0, 0.0, 0.0)

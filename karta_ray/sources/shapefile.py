@@ -285,3 +285,173 @@ def shapefile_members_table(path: str):
     for k in all_keys:
         table[k] = pa.array([p.get(k) for p in row_props])
     return pa.table(table)
+
+
+# ---------------------------------------------------------------------------
+# Writer (.shp + .shx + .dbf), pure Python
+# ---------------------------------------------------------------------------
+
+_TYPE_CODES = {"Point": 1, "MultiPoint": 8, "Line": 3, "Multiline": 3,
+               "Polygon": 5, "Multipolygon": 5}
+
+
+def _dbf_field_spec(values):
+    """dBase (type, length, decimals) for a column, mirroring the
+    reference's inference (_shp.py:53-89: ints -> 32-wide N, reals ->
+    N with decimals, strings -> 180-wide C, bools -> L)."""
+    sample = next((v for v in values if v is not None), "")
+    if isinstance(sample, bool):
+        return ("L", 1, 0)
+    if isinstance(sample, (int, np.integer)):
+        return ("N", 32, 0)
+    if isinstance(sample, (float, np.floating)):
+        return ("N", 32, 10)
+    return ("C", 180, 0)
+
+
+def _dbf_keys(keys):
+    """10-char uppercase names with the reference's de-clash rule
+    (_shp.py:227-244: truncate, then suffix 2, 3, ...)."""
+    out = {}
+    for k in keys:
+        name = str(k)[:10].upper()
+        i = 2
+        while name in out.values():
+            name = name[:-len(str(i))] + str(i)
+            i += 1
+        out[k] = name
+    return out
+
+
+def _write_dbf(path: str, keys, rows):
+    import datetime
+
+    mapping = _dbf_keys(keys)
+    specs = {k: _dbf_field_spec([r.get(k) for r in rows]) for k in keys}
+    header_size = 32 + 32 * len(keys) + 1
+    record_size = 1 + sum(specs[k][1] for k in keys)
+    now = datetime.date(1999, 12, 31)  # deterministic timestamp
+    with open(path, "wb") as f:
+        f.write(struct.pack("<B3BIHH20x", 3, now.year - 1900, now.month,
+                            now.day, len(rows), header_size, record_size))
+        for k in keys:
+            ftype, flen, fdec = specs[k]
+            f.write(struct.pack("<11sc4xBB14x",
+                                mapping[k].encode("ascii")[:11],
+                                ftype.encode("ascii"), flen, fdec))
+        f.write(b"\x0d")
+        for r in rows:
+            f.write(b" ")
+            for k in keys:
+                ftype, flen, fdec = specs[k]
+                v = r.get(k)
+                if v is None:
+                    text = ""
+                elif ftype == "L":
+                    text = "T" if v else "F"
+                elif ftype == "N" and fdec > 0:
+                    text = f"{float(v):.{fdec}f}"
+                elif ftype == "N":
+                    text = str(int(v))
+                else:
+                    text = str(v)
+                raw = text.encode("latin-1", "replace")[:flen]
+                if ftype == "N":
+                    raw = raw.rjust(flen)
+                else:
+                    raw = raw.ljust(flen)
+                f.write(raw)
+
+
+def _shape_payload(geom) -> bytes:
+    t = geom["type"]
+    code = _TYPE_CODES[t]
+    if t == "Point":
+        x, y = geom["coordinates"][:2]
+        return struct.pack("<i2d", 1, float(x), float(y))
+    if t == "MultiPoint":
+        pts = np.asarray(geom["coordinates"], dtype=np.float64)[:, :2]
+        bbox = (pts[:, 0].min(), pts[:, 1].min(),
+                pts[:, 0].max(), pts[:, 1].max())
+        return (struct.pack("<i4di", 8, *bbox, len(pts))
+                + pts.astype("<f8").tobytes())
+    # polyline / polygon: list of parts
+    if t == "Line":
+        parts = [np.asarray(geom["coordinates"], dtype=np.float64)[:, :2]]
+    elif t == "Multiline":
+        parts = [np.asarray(c, dtype=np.float64)[:, :2]
+                 for c in geom["coordinates"]]
+    elif t == "Polygon":
+        parts = [_close_ring(np.asarray(r, dtype=np.float64)[:, :2])
+                 for r in geom["coordinates"]]
+    else:  # Multipolygon
+        parts = [_close_ring(np.asarray(r, dtype=np.float64)[:, :2])
+                 for rings in geom["coordinates"] for r in rings]
+    allpts = np.vstack(parts)
+    bbox = (allpts[:, 0].min(), allpts[:, 1].min(),
+            allpts[:, 0].max(), allpts[:, 1].max())
+    offsets = np.cumsum([0] + [len(p) for p in parts[:-1]]).astype("<i4")
+    return (struct.pack("<i4d2i", code, *bbox, len(parts), len(allpts))
+            + offsets.tobytes() + allpts.astype("<f8").tobytes())
+
+
+def _close_ring(ring: np.ndarray) -> np.ndarray:
+    if len(ring) and not np.array_equal(ring[0], ring[-1]):
+        return np.vstack([ring, ring[:1]])
+    return ring
+
+
+def write_shapefile(path: str, geoms):
+    """Write geometry dicts ({type, coordinates, properties}) to
+    ``path``.shp/.shx/.dbf. All records must share one shape type
+    family (the shapefile format constraint)."""
+    base, ext = os.path.splitext(path)
+    if ext.lower() != ".shp":
+        base = path
+    codes = {_TYPE_CODES[g["type"]] for g in geoms}
+    if len(codes) > 1:
+        raise ValueError("shapefile records must share one shape type")
+    code = codes.pop() if codes else 0
+
+    payloads = [_shape_payload(g) for g in geoms]
+    allpts = []
+    for g in geoms:
+        c = g["coordinates"]
+        if g["type"] == "Point":
+            allpts.append([c[:2]])
+        elif g["type"] == "MultiPoint":
+            allpts.append(np.asarray(c, dtype=np.float64)[:, :2])
+        elif g["type"] in ("Line",):
+            allpts.append(np.asarray(c, dtype=np.float64)[:, :2])
+        elif g["type"] == "Multiline":
+            allpts.extend(np.asarray(p, dtype=np.float64)[:, :2] for p in c)
+        elif g["type"] == "Polygon":
+            allpts.extend(np.asarray(r, dtype=np.float64)[:, :2] for r in c)
+        else:
+            allpts.extend(np.asarray(r, dtype=np.float64)[:, :2]
+                          for rings in c for r in rings)
+    pts = np.vstack(allpts) if allpts else np.zeros((1, 2))
+    bbox = (pts[:, 0].min(), pts[:, 1].min(),
+            pts[:, 0].max(), pts[:, 1].max())
+
+    shp_len = 100 + sum(8 + len(p) for p in payloads)
+    header = struct.pack(">i5i", 9994, 0, 0, 0, 0, 0)
+    with open(base + ".shp", "wb") as f, open(base + ".shx", "wb") as x:
+        for fh, length in ((f, shp_len),
+                           (x, 100 + 8 * len(payloads))):
+            fh.write(header + struct.pack(">i", length // 2)
+                     + struct.pack("<2i4d4d", 1000, code, *bbox,
+                                   0.0, 0.0, 0.0, 0.0))
+        pos = 100
+        for i, p in enumerate(payloads):
+            f.write(struct.pack(">2i", i + 1, len(p) // 2) + p)
+            x.write(struct.pack(">2i", pos // 2, len(p) // 2))
+            pos += 8 + len(p)
+
+    keys = []
+    for g in geoms:
+        for k in g.get("properties", {}):
+            if k not in keys:
+                keys.append(k)
+    _write_dbf(base + ".dbf", keys,
+               [g.get("properties", {}) for g in geoms])

@@ -60,11 +60,44 @@ class TestMultimodal:
         np.testing.assert_allclose(f_full[10:20], f_part)
         assert f_full.shape == (30, 16)
 
-    def test_real_decoder_is_guarded(self):
-        t = synth_media_table(2)
-        ex = MediaFeatureExtractor(dim=8, use_fake_decoder=False)
+    def test_video_decoder_is_guarded(self):
+        from karta_ray.stages.multimodal import _decode_video_real
+
         with pytest.raises(NotImplementedError):
-            ex(t)
+            _decode_video_real(b"xxxx")
+
+    def test_real_image_audio_decode(self):
+        from karta_ray.stages.multimodal import (decode_ppm, decode_wav,
+                                                 encode_ppm, encode_wav,
+                                                 frame_sample,
+                                                 resize_image)
+
+        img = (np.arange(24 * 32 * 3) % 251).reshape(24, 32, 3) \
+            .astype(np.uint8)
+        assert (decode_ppm(encode_ppm(img)) == img).all()
+        gray = img[:, :, 0]
+        assert (decode_ppm(encode_ppm(gray)) == gray).all()
+        small = resize_image(img, 8, 6)
+        assert small.shape == (6, 8, 3)
+        wave = (np.sin(np.arange(4000) / 20) * 20000).astype(np.int16)
+        got, rate = decode_wav(encode_wav(wave, 8000))
+        assert rate == 8000 and (got == wave).all()
+        stereo = np.column_stack([wave, -wave])
+        got2, _ = decode_wav(encode_wav(stereo, 8000))
+        assert got2.shape == stereo.shape and (got2 == stereo).all()
+        frames = [img, img, img, img, img]
+        assert len(frame_sample(frames, 2)) == 3
+
+    def test_image_features_reflect_content(self):
+        from karta_ray.stages.multimodal import (_features_image,
+                                                 encode_ppm)
+
+        dark = np.zeros((16, 16, 3), dtype=np.uint8)
+        light = np.full((16, 16, 3), 250, dtype=np.uint8)
+        fd = _features_image(dark, 16)
+        fl = _features_image(light, 16)
+        assert fd[2] == 0.0 and fl[2] == 250.0  # channel means differ
+        assert encode_ppm(dark)[:2] == b"P6"
 
     @pytest.mark.usefixtures("ray_session")
     def test_actor_pool_stage(self):

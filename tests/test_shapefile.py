@@ -104,3 +104,63 @@ class TestMembersTable:
         target = np.array([(0.0, 0.0), (6.0, 0.0), (6.0, 6.0), (0.0, 6.0)])
         out = touching(ds, target, target_kind="polygon").to_pandas()
         assert len(out) == 1  # the line lies inside the box -> touching
+
+
+class TestWriter:
+    def test_round_trip_points(self, tmp_path):
+        from karta_ray.sources.shapefile import write_shapefile
+
+        geoms = [{"type": "Point", "coordinates": [1.5, -2.25],
+                  "properties": {"name": "a", "rank": 3, "w": 0.5}},
+                 {"type": "Point", "coordinates": [-7.0, 8.125],
+                  "properties": {"name": "b", "rank": -1, "w": 2.75}}]
+        p = str(tmp_path / "pts.shp")
+        write_shapefile(p, geoms)
+        back = read_shapefile(p)
+        assert [g["coordinates"] for g in back] == \
+            [[1.5, -2.25], [-7.0, 8.125]]
+        assert back[0]["properties"]["NAME"] == "a"
+        assert back[1]["properties"]["RANK"] == -1
+        assert back[0]["properties"]["W"] == 0.5
+
+    def test_round_trip_polygon_with_hole(self, tmp_path):
+        from karta_ray.sources.shapefile import write_shapefile
+
+        outer = [[0.0, 0.0], [0.0, 10.0], [10.0, 10.0], [10.0, 0.0]][::-1]
+        hole = [[2.0, 2.0], [2.0, 4.0], [4.0, 4.0], [4.0, 2.0]]
+        # writer closes rings; outer must be CW per spec -> reversed CCW
+        geoms = [{"type": "Polygon",
+                  "coordinates": [np.array(outer)[::-1],
+                                  np.array(hole)[::-1][::-1]],
+                  "properties": {}}]
+        # construct explicit CW outer / CCW hole
+        cw_outer = np.array([[0.0, 0.0], [0.0, 10.0], [10.0, 10.0],
+                             [10.0, 0.0]])
+        ccw_hole = np.array([[2.0, 2.0], [4.0, 2.0], [4.0, 4.0],
+                             [2.0, 4.0]])
+        from karta_ray.kernels.predicates import ring_is_clockwise
+        if not ring_is_clockwise(cw_outer):
+            cw_outer = cw_outer[::-1]
+        if ring_is_clockwise(ccw_hole):
+            ccw_hole = ccw_hole[::-1]
+        geoms = [{"type": "Polygon", "coordinates": [cw_outer, ccw_hole],
+                  "properties": {"id": 1}}]
+        p = str(tmp_path / "poly.shp")
+        write_shapefile(p, geoms)
+        back = read_shapefile(p)
+        assert len(back) == 1 and back[0]["type"] == "Polygon"
+        assert len(back[0]["coordinates"]) == 2  # outer + hole
+
+    def test_round_trip_multiline_and_name_declash(self, tmp_path):
+        from karta_ray.sources.shapefile import write_shapefile
+
+        geoms = [{"type": "Multiline",
+                  "coordinates": [[[0.0, 0.0], [1.0, 1.0]],
+                                  [[2.0, 2.0], [3.0, 1.0], [4.0, 4.0]]],
+                  "properties": {"longfieldname1": 1, "longfieldname2": 2}}]
+        p = str(tmp_path / "ml.shp")
+        write_shapefile(p, geoms)
+        back = read_shapefile(p)
+        assert back[0]["type"] == "Multiline"
+        keys = set(back[0]["properties"])
+        assert "LONGFIELDN" in keys and "LONGFIELD2" in keys

@@ -813,6 +813,11 @@ def new_queries() -> dict:
         "count_crossings": q_count_crossings,
         "slope_stencil": q_slope_stencil,
         "grid_sample_bilinear": q_grid_sample_bilinear,
+        "knn_join_coshuffle": q_knn_join_coshuffle,
+        "pip_strtree": q_pip_strtree,
+        "bbox_members": q_bbox_members,
+        "grid_extrema": q_grid_extrema,
+        "raster_merge": q_raster_merge,
     }
 
 
@@ -829,4 +834,255 @@ def new_oracle_sqls() -> dict:
         "slope_stencil": SLOPE_STENCIL_SQL,
         "grid_sample_bilinear": grid_sample_bilinear_sql(),
         "lang_id": lang_id_sql(),
+        "knn_join_coshuffle": _knn_coshuffle_sql(),
+        "pip_strtree": _pip_strtree_sql(),
+        "bbox_members": BBOX_MEMBERS_SQL,
+        "grid_extrema": GRID_EXTREMA_SQL,
+        "raster_merge": RASTER_MERGE_SQL,
     }
+
+
+def _knn_coshuffle_sql() -> str:
+    from .queries import oracle_sqls
+
+    return oracle_sqls()["knn_join"]
+
+
+def _pip_strtree_sql() -> str:
+    from .queries import oracle_sqls
+
+    return oracle_sqls()["pip_join"]
+
+# ---------------------------------------------------------------------------
+# 11. Scale-path variants certified against the same oracles
+# ---------------------------------------------------------------------------
+
+def q_knn_join_coshuffle(sf_dir: str):
+    """The big-big kNN join (co-shuffle with boundary-cell replication
+    and distributed residue rounds) on the same supplier x customer
+    derivation as q_knn_join — certified hash-exact against the same
+    SQL oracle as the broadcast variant."""
+    import ray.data
+
+    from ..stages.knn import knn_join_coshuffle
+    from ..stages.tiles import assign_cells
+    from .queries import CUST_MULTS, KNN_JOIN_K, SUPP_MULTS, _derive
+
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey"])
+
+    def left(batch: pa.Table) -> pa.Table:
+        k = batch.column("s_suppkey").to_numpy().astype(np.int64)
+        lon, lat = _derive(k, SUPP_MULTS)
+        return pa.table({"left_id": pa.array(k),
+                         "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    lds = sup.map_batches(left, batch_format="pyarrow")
+    lds = lds.map_batches(assign_cells, batch_format="pyarrow",
+                          fn_kwargs={"zoom": 4, "with_xyz": False})
+
+    cus = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                columns=["c_custkey"])
+
+    def right(batch: pa.Table) -> pa.Table:
+        k = batch.column("c_custkey").to_numpy().astype(np.int64)
+        lon, lat = _derive(k, CUST_MULTS)
+        return pa.table({"right_id": pa.array(k),
+                         "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    rds = cus.map_batches(right, batch_format="pyarrow")
+    out = knn_join_coshuffle(lds, rds, KNN_JOIN_K, zoom=4)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "s_suppkey": batch.column("left_id"),
+            "neighbor_id": batch.column("neighbor_id"),
+            "rank": batch.column("rank"),
+        })
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
+def q_pip_strtree(sf_dir: str):
+    """The PIP join through the STR-packed bbox-tree prefilter
+    (state/strtree.py) — result-identical to the cell-cover path and
+    certified against the same winding-number oracle."""
+    from ..stages.join import pip_join_strtree
+    from .queries import points_ds, query_polyset
+
+    ds = points_ds(sf_dir)
+    joined = pip_join_strtree(ds, query_polyset())
+    return joined.select_columns(["l_orderkey", "l_linenumber", "poly_id"])
+
+
+BBOX_QUERY = (-30.0, -25.0, 10.0, 30.0)
+
+
+def q_bbox_members(sf_dir: str):
+    """Multipart bbox search (reference within_bbox/touching_bbox,
+    geometry.py:1472-1494): member-segment bboxes vs a query box via a
+    per-batch STRtree (state/strtree.py overlap semantics: touching
+    counts); `contained` flags full containment (search_within)."""
+    import ray.data
+
+    from ..state.strtree import STRtree
+
+    cus = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                columns=["c_custkey"])
+    qxmin, qymin, qxmax, qymax = BBOX_QUERY
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = batch.column("c_custkey").to_numpy().astype(np.int64)
+        x0 = ((k * GEOM_V1[0]) % 81 - 40).astype(np.float64)
+        y0 = ((k * GEOM_V1[1]) % 81 - 40).astype(np.float64)
+        x1 = ((k * GEOM_V2[0]) % 81 - 40).astype(np.float64)
+        y1 = ((k * GEOM_V2[1]) % 81 - 40).astype(np.float64)
+        boxes = np.column_stack([np.minimum(x0, x1), np.minimum(y0, y1),
+                                 np.maximum(x0, x1), np.maximum(y0, y1)])
+        idx = STRtree(boxes).query_box(qxmin, qymin, qxmax, qymax)
+        b = boxes[idx]
+        contained = ((b[:, 0] >= qxmin) & (b[:, 2] <= qxmax)
+                     & (b[:, 1] >= qymin) & (b[:, 3] <= qymax))
+        return pa.table({
+            "geom_id": pa.array(k[idx], pa.int64()),
+            "contained": pa.array(contained.astype(np.int64)),
+        })
+
+    return cus.map_batches(fn, batch_format="pyarrow")
+
+
+BBOX_MEMBERS_SQL = f"""
+WITH b AS (
+  SELECT c_custkey AS geom_id,
+         LEAST(CAST((c_custkey * {GEOM_V1[0]}) % 81 - 40 AS DOUBLE),
+               CAST((c_custkey * {GEOM_V2[0]}) % 81 - 40 AS DOUBLE)) AS bxmin,
+         LEAST(CAST((c_custkey * {GEOM_V1[1]}) % 81 - 40 AS DOUBLE),
+               CAST((c_custkey * {GEOM_V2[1]}) % 81 - 40 AS DOUBLE)) AS bymin,
+         GREATEST(CAST((c_custkey * {GEOM_V1[0]}) % 81 - 40 AS DOUBLE),
+                  CAST((c_custkey * {GEOM_V2[0]}) % 81 - 40 AS DOUBLE)) AS bxmax,
+         GREATEST(CAST((c_custkey * {GEOM_V1[1]}) % 81 - 40 AS DOUBLE),
+                  CAST((c_custkey * {GEOM_V2[1]}) % 81 - 40 AS DOUBLE)) AS bymax
+  FROM customer)
+SELECT geom_id,
+       CAST(CASE WHEN bxmin >= {BBOX_QUERY[0]!r} AND bxmax <= {BBOX_QUERY[2]!r}
+                  AND bymin >= {BBOX_QUERY[1]!r} AND bymax <= {BBOX_QUERY[3]!r}
+            THEN 1 ELSE 0 END AS BIGINT) AS contained
+FROM b
+WHERE bxmin <= {BBOX_QUERY[2]!r} AND bxmax >= {BBOX_QUERY[0]!r}
+  AND bymin <= {BBOX_QUERY[3]!r} AND bymax >= {BBOX_QUERY[1]!r}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 12. Grid extrema / data extent (tiled partials + tree combine)
+# ---------------------------------------------------------------------------
+
+def q_grid_extrema(sf_dir: str):
+    """Nodata-masked extrema + data extent of the synthetic grid (cells
+    with value 0 are nodata), computed from tile-record partials with a
+    min/max tree combine — the distributed Grid.minmax / data_extent
+    (karta/raster/grid.py:26-48, 389-463)."""
+    from ..stages.agg import tree_agg
+    from ..stages.raster import _block, tiles_dataset
+
+    vals = _synthetic_grid().copy()
+    vals[vals == 0.0] = np.nan
+    tiles = tiles_dataset(vals, GRID_T, tile=64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in ("k", "vmin", "vmax", "imin", "imax",
+                                "jmin", "jmax")}
+        for r in range(batch.num_rows):
+            i0 = batch.column("i0")[r].as_py()
+            j0 = batch.column("j0")[r].as_py()
+            block = _block(batch, r)
+            ok = ~np.isnan(block)
+            if not ok.any():
+                continue
+            ii, jj = np.nonzero(ok)
+            rows["k"].append(0)
+            rows["vmin"].append(int(block[ok].min()))
+            rows["vmax"].append(int(block[ok].max()))
+            rows["imin"].append(int(ii.min()) + i0)
+            rows["imax"].append(int(ii.max()) + i0)
+            rows["jmin"].append(int(jj.min()) + j0)
+            rows["jmax"].append(int(jj.max()) + j0)
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in rows.items()})
+
+    part = tiles.map_batches(partial, batch_format="pyarrow")
+    agg = tree_agg(part, ["k"],
+                   [("vmin", "min"), ("vmax", "max"), ("imin", "min"),
+                    ("imax", "max"), ("jmin", "min"), ("jmax", "max")])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        g = {c: batch.column(c)[0].as_py() for c in batch.column_names}
+        x0, y0, dx, dy = GRID_T[0], GRID_T[1], GRID_T[2], GRID_T[3]
+        return pa.table({
+            "vmin": pa.array([g["vmin"]], pa.int64()),
+            "vmax": pa.array([g["vmax"]], pa.int64()),
+            "xmin": pa.array([x0 + (g["jmin"] + 0.5) * dx], pa.float64()),
+            "ymin": pa.array([y0 + (g["imin"] + 0.5) * dy], pa.float64()),
+            "xmax": pa.array([x0 + (g["jmax"] + 0.5) * dx], pa.float64()),
+            "ymax": pa.array([y0 + (g["imax"] + 0.5) * dy], pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+GRID_EXTREMA_SQL = """
+WITH cells AS (
+  SELECT i.range AS i, j.range AS j,
+         (i.range*31 + j.range*17) % 97 AS v
+  FROM range(0, 160) i CROSS JOIN range(0, 360) j),
+ok AS (SELECT * FROM cells WHERE v <> 0)
+SELECT CAST(MIN(v) AS BIGINT) AS vmin, CAST(MAX(v) AS BIGINT) AS vmax,
+       -180.0 + (CAST(MIN(j) AS DOUBLE) + 0.5) * 1.0 AS xmin,
+       -80.0 + (CAST(MIN(i) AS DOUBLE) + 0.5) * 1.0 AS ymin,
+       -180.0 + (CAST(MAX(j) AS DOUBLE) + 0.5) * 1.0 AS xmax,
+       -80.0 + (CAST(MAX(i) AS DOUBLE) + 0.5) * 1.0 AS ymax
+FROM ok
+"""
+
+
+# ---------------------------------------------------------------------------
+# 13. Distributed raster mosaic (weighted merge of tile records)
+# ---------------------------------------------------------------------------
+
+MERGE_W = (1.0, 3.0)  # normalized by the stage to (0.5, 1.5) — dyadic
+
+
+def q_raster_merge(sf_dir: str):
+    """Weighted mosaic of two integer-translated synthetic grids as a
+    distributed tile-record merge (stages/raster.merge_grids_stage —
+    karta raster.merge semantics, grid.py:1141-1231). Exact: 2 grids
+    -> at most 2 contributions per cell (IEEE addition of two terms is
+    order-independent) and dyadic weights."""
+    from ..stages.raster import merge_grids_stage, tiles_dataset
+
+    ii, jj = np.meshgrid(np.arange(50), np.arange(60), indexing="ij")
+    ga = ((ii * 7 + jj * 11) % 50).astype(np.float64)
+    ii, jj = np.meshgrid(np.arange(40), np.arange(70), indexing="ij")
+    gb = ((ii * 13 + jj * 3) % 40).astype(np.float64)
+    ta = tiles_dataset(ga, (0.0, 0.0, 1.0, 1.0, 0.0, 0.0), tile=32)
+    tb = tiles_dataset(gb, (20.0, 10.0, 1.0, 1.0, 0.0, 0.0), tile=32)
+    return merge_grids_stage([ta, tb], weights=MERGE_W,
+                             grid_origins=[(0, 0), (10, 20)])
+
+
+RASTER_MERGE_SQL = """
+WITH a AS (
+  SELECT i.range AS I, j.range AS J,
+         CAST((i.range*7 + j.range*11) % 50 AS DOUBLE) * 0.5 AS wv,
+         0.5 AS w
+  FROM range(0, 50) i CROSS JOIN range(0, 60) j),
+b AS (
+  SELECT i.range + 10 AS I, j.range + 20 AS J,
+         CAST((i.range*13 + j.range*3) % 40 AS DOUBLE) * 1.5 AS wv,
+         1.5 AS w
+  FROM range(0, 40) i CROSS JOIN range(0, 70) j),
+u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+SELECT CAST(I AS BIGINT) AS I, CAST(J AS BIGINT) AS J,
+       SUM(wv) / SUM(w) AS value
+FROM u GROUP BY I, J
+"""

@@ -115,11 +115,14 @@ def ngram_jaccard_pairs(docs_ds, *, id_col: str = "doc_id",
             "doc_a": pa.array([], pa.int64()),
             "doc_b": pa.array([], pa.int64()),
             "n_shared": pa.array([], pa.int64())}))
-    j1 = pairs.join(sizes, "inner", num_partitions=4,
+    # partitions sized to the pair volume: Ray's hash join fails on
+    # empty (schema-less) partitions when a side has few distinct keys
+    np_ = 8 if pairs.count() >= 50_000 else 1
+    j1 = pairs.join(sizes, "inner", num_partitions=np_,
                     on=("doc_a",), right_on=("doc_id",),
                     right_suffix="_a").materialize()
     j2 = j1.rename_columns({"sz": "sz_a"}).join(
-        sizes, "inner", num_partitions=4,
+        sizes, "inner", num_partitions=np_,
         on=("doc_b",), right_on=("doc_id",)).materialize()
 
     def threshold_filter(batch: pa.Table) -> pa.Table:

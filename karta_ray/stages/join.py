@@ -122,15 +122,31 @@ class PolyJoinerSTR:
 
 
 def pip_join_strtree(points_ds, polyset: PolygonSet, *,
-                     concurrency=(1, 8), batch_size: int = 8192):
-    """PIP join via the STRtree prefilter held in an ACTOR POOL (state
-    built once per actor in __init__)."""
+                     concurrency=None, batch_size: int = 8192):
+    """PIP join via the STRtree prefilter. Default is task-based
+    map_batches with a per-worker joiner cache (no actor-pool spin-up
+    lag, see _JOINER_CACHE); pass ``concurrency`` to force a pool."""
     prep_ref = prep_polygons_strtree(polyset)
-    return points_ds.map_batches(
-        PolyJoinerSTR,
-        fn_constructor_kwargs={"prep_ref": prep_ref},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, zero_copy_batch=True)
+    if concurrency is not None:
+        return points_ds.map_batches(
+            PolyJoinerSTR,
+            fn_constructor_kwargs={"prep_ref": prep_ref},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency, zero_copy_batch=True)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        key = (prep_ref.hex() if hasattr(prep_ref, "hex")
+               else id(prep_ref), "strtree")
+        joiner = _JOINER_CACHE.get(key)
+        if joiner is None:
+            joiner = PolyJoinerSTR(prep_ref)
+            _JOINER_CACHE.clear()
+            _JOINER_CACHE[key] = joiner
+        return joiner(batch)
+
+    return points_ds.map_batches(fn, batch_format="pyarrow",
+                                 batch_size=batch_size,
+                                 zero_copy_batch=True)
 
 
 def prep_polygons(polyset: PolygonSet, zoom: int = DEFAULT_ZOOM):

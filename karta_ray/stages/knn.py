@@ -362,7 +362,9 @@ def knn_join_coshuffle(left_ds, right_ds, k: int, *, zoom: int,
     # collected on the driver.
     # materialize: keeps at most ONE hash join per executed plan (chained
     # lazy joins can starve each other's aggregator actors for CPUs)
-    residue_left = left_ds.join(ids_ds, "inner", num_partitions=4,
+    # num_partitions=1: the residue is small by construction, and Ray's
+    # hash join fails on empty (schema-less) partitions of tiny sides
+    residue_left = left_ds.join(ids_ds, "inner", num_partitions=1,
                                 on=("left_id",)).materialize()
     fixed = _knn_residue_rounds(residue_left, right_ds, k, zoom=zoom,
                                 right_id_col=right_id_col,
@@ -566,7 +568,7 @@ def _knn_residue_rounds(residue_left, right_ds, k: int, *, zoom: int,
                   .select_columns(["left_id"]).materialize())
         if ids_ds.count() == 0:
             break
-        cur = cur.join(ids_ds, "inner", num_partitions=4,
+        cur = cur.join(ids_ds, "inner", num_partitions=1,
                        on=("left_id",)).materialize()
         # quadruple the ring: each residue round costs a fixed number of
         # shuffles, so converge in few rounds rather than small steps

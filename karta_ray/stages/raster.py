@@ -89,6 +89,76 @@ def tiles_dataset(values, transform, **kw):
     return ray.data.from_arrow(tiles_from_grid(values, transform, **kw))
 
 
+def merge_grids_stage(tile_datasets, weights=None, grid_origins=None):
+    """Distributed raster mosaic (karta ``raster.merge`` semantics,
+    grid.py:1141-1231) over tile-record Datasets of integer-translated
+    grids: every non-nodata cell becomes a (I, J, w*v, w) row in GLOBAL
+    cell coordinates, a tree combine sums per cell, and the weighted
+    mean finalizes — the "groupby(tile-id) + weighted-mean combine"
+    shape from SURVEY §2.5. Weights are normalized like the kernel
+    (w * n / sum(w)). Returns rows (I, J, value).
+
+    ``grid_origins``: list of (di, dj) integer cell offsets of each
+    grid's origin in the global frame (from the integer-translation
+    check); defaults to all (0, 0).
+    """
+    n = len(tile_datasets)
+    if weights is None:
+        weights = np.ones(n)
+    weights = np.asarray(weights, dtype=np.float64)
+    weights = weights * len(weights) / weights.sum()
+    if grid_origins is None:
+        grid_origins = [(0, 0)] * n
+
+    def rows_fn(w, di, dj):
+        def fn(batch: pa.Table) -> pa.Table:
+            out_i = []
+            out_j = []
+            out_v = []
+            for r in range(batch.num_rows):
+                i0 = batch.column("i0")[r].as_py()
+                j0 = batch.column("j0")[r].as_py()
+                ny = batch.column("ny")[r].as_py()
+                nx = batch.column("nx")[r].as_py()
+                pt = batch.column("pt")[r].as_py()
+                pl = batch.column("pl")[r].as_py()
+                block = _block(batch, r)[pt:pt + ny, pl:pl + nx]
+                vals = block.astype(np.float64, copy=False)
+                ok = ~np.isnan(vals) if vals.dtype.kind == "f" else \
+                    np.ones(vals.shape, dtype=bool)
+                jj, ii = np.meshgrid(np.arange(nx) + j0 + dj,
+                                     np.arange(ny) + i0 + di)
+                out_i.append(ii[ok].astype(np.int64))
+                out_j.append(jj[ok].astype(np.int64))
+                out_v.append(vals[ok])
+            i = np.concatenate(out_i) if out_i else np.empty(0, np.int64)
+            j = np.concatenate(out_j) if out_j else np.empty(0, np.int64)
+            v = np.concatenate(out_v) if out_v else np.empty(0)
+            return pa.table({
+                "I": pa.array(i), "J": pa.array(j),
+                "wv": pa.array(v * w, pa.float64()),
+                "w": pa.array(np.full(len(v), w), pa.float64()),
+            })
+        return fn
+
+    parts = None
+    for ds, w, (di, dj) in zip(tile_datasets, weights, grid_origins):
+        rows = ds.map_batches(rows_fn(float(w), int(di), int(dj)),
+                              batch_format="pyarrow")
+        parts = rows if parts is None else parts.union(rows)
+    agg = tree_sum(parts, ["I", "J"], ["wv", "w"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        wv = batch.column("wv").to_numpy()
+        w = batch.column("w").to_numpy()
+        return pa.table({
+            "I": batch.column("I"), "J": batch.column("J"),
+            "value": pa.array(wv / np.maximum(w, 1e-300), pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def write_tiles_parquet(tiles_ds, path: str):
     """Persist a tile-record Dataset as partitioned parquet — the
     engine's GeoTiff replacement (no GDAL in env): dtype-preserving,

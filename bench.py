@@ -61,7 +61,7 @@ def warmup():
         .map_batches(touch, batch_size=1).materialize())
 
 
-def run_headline(pages_dir: str, reps: int = 2) -> dict:
+def run_headline(pages_dir: str, reps: int = 3) -> dict:
     """Headline: read -> extract -> geotag -> tile -> PIP join -> per-
     (poly, cell) aggregate, fully consumed. Best of ``reps`` runs (this
     host's page-fault behavior adds +-40% run-to-run noise)."""

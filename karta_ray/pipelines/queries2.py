@@ -891,7 +891,9 @@ def q_knn_join_coshuffle(sf_dir: str):
                          "lon": pa.array(lon), "lat": pa.array(lat)})
 
     rds = cus.map_batches(right, batch_format="pyarrow")
-    out = knn_join_coshuffle(lds, rds, KNN_JOIN_K, zoom=4)
+    # ring=2 replication: candidate counts high enough that the
+    # in-cell bound resolves everything in one round at bench scale
+    out = knn_join_coshuffle(lds, rds, KNN_JOIN_K, zoom=4, ring=2)
 
     def shape(batch: pa.Table) -> pa.Table:
         return pa.table({

@@ -129,3 +129,78 @@ class TestRound2Queries:
         vals = full[got["i"].to_numpy(), got["j"].to_numpy()]
         assert (got["slope"].to_numpy() == vals).all()
         assert len(got) == 158 * 358
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(
+    st.floats(min_value=-100, max_value=100, allow_nan=False),
+    st.floats(min_value=-100, max_value=100, allow_nan=False),
+    st.floats(min_value=0.01, max_value=20, allow_nan=False),
+    st.floats(min_value=0.01, max_value=20, allow_nan=False)),
+    min_size=1, max_size=60),
+    st.tuples(st.floats(min_value=-120, max_value=120, allow_nan=False),
+              st.floats(min_value=-120, max_value=120, allow_nan=False),
+              st.floats(min_value=0.01, max_value=50, allow_nan=False),
+              st.floats(min_value=0.01, max_value=50, allow_nan=False)))
+def test_strtree_query_box_matches_brute_force(boxes_raw, qraw):
+    from karta_ray.state.strtree import STRtree
+
+    boxes = np.array([[x, y, x + w, y + h] for x, y, w, h in boxes_raw])
+    qx, qy, qw, qh = qraw
+    qxmin, qymin, qxmax, qymax = qx, qy, qx + qw, qy + qh
+    got = set(STRtree(boxes).query_box(qxmin, qymin, qxmax, qymax).tolist())
+    want = set(np.nonzero(
+        (boxes[:, 0] <= qxmax) & (boxes[:, 2] >= qxmin)
+        & (boxes[:, 1] <= qymax) & (boxes[:, 3] >= qymin))[0].tolist())
+    assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(alphabet="abcdef ", min_size=0, max_size=40),
+                min_size=2, max_size=12))
+def test_minhash_estimates_jaccard_on_random_docs(texts):
+    from karta_ray.functions import text as T
+
+    sigs = [T.minhash_signature(T.char_shingles(t, 3)) for t in texts]
+    sets = [set(T.char_shingles(t, 3).tolist()) for t in texts]
+    for i in range(len(texts) - 1):
+        a, b = sets[i], sets[i + 1]
+        if not a and not b:
+            continue
+        true_j = len(a & b) / len(a | b) if (a | b) else 0.0
+        est = float((sigs[i] == sigs[i + 1]).mean())
+        assert abs(est - true_j) <= 0.35  # 128 permutations, loose bound
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=1, max_value=200),
+       st.integers(min_value=1, max_value=200),
+       st.integers(min_value=0, max_value=96))
+def test_ppm_wav_round_trip(w, h, base):
+    from karta_ray.stages.multimodal import (decode_ppm, decode_wav,
+                                             encode_ppm, encode_wav)
+
+    img = ((np.arange(w * h * 3) + base) % 251).reshape(h, w, 3) \
+        .astype(np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    wave = (((np.arange(500) * (base + 7)) % 20011) - 10000) \
+        .astype(np.int16)
+    got, rate = decode_wav(encode_wav(wave, 8000 + base))
+    assert rate == 8000 + base and (got == wave).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**6),
+                min_size=0, max_size=200),
+       st.integers(min_value=1, max_value=10))
+def test_sessionize_segments_match_brute(ts_raw, n_users):
+    from karta_ray.stages.session import _segments
+
+    u = np.sort(np.array([t % n_users for t in ts_raw], dtype=np.int64))
+    starts, ends = _segments(u)
+    # segments tile the array and are maximal runs
+    assert (ends - starts > 0).all() if len(starts) else True
+    rebuilt = np.concatenate([np.full(e - s, u[s]) for s, e in
+                              zip(starts, ends)]) if len(starts) else         np.empty(0, dtype=np.int64)
+    assert (rebuilt == u).all()
+    assert len(starts) == len(np.unique(u))
+

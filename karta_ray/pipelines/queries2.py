@@ -818,6 +818,9 @@ def new_queries() -> dict:
         "bbox_members": q_bbox_members,
         "grid_extrema": q_grid_extrema,
         "raster_merge": q_raster_merge,
+        "within_distance": q_within_distance,
+        "token_count": q_token_count,
+        "kmeans": q_kmeans,
     }
 
 
@@ -839,6 +842,8 @@ def new_oracle_sqls() -> dict:
         "bbox_members": BBOX_MEMBERS_SQL,
         "grid_extrema": GRID_EXTREMA_SQL,
         "raster_merge": RASTER_MERGE_SQL,
+        "within_distance": within_distance_sql(),
+        "token_count": TOKEN_COUNT_SQL,
     }
 
 
@@ -1088,3 +1093,136 @@ SELECT CAST(I AS BIGINT) AS I, CAST(J AS BIGINT) AS J,
        SUM(wv) / SUM(w) AS value
 FROM u GROUP BY I, J
 """
+
+# ---------------------------------------------------------------------------
+# 14. within_distance + regex token counting
+# ---------------------------------------------------------------------------
+
+WITHIN_DIST_R = 60.0
+
+
+def q_within_distance(sf_dir: str):
+    """karta ``within_distance`` semantics (geometry.py:794-807: the
+    point must be within R of EVERY segment of the chain): per-segment
+    squared projected distances vs R^2, all-segments AND. Exact: same
+    projection ops as point_to_line, compared as d2 <= R*R."""
+    from ..kernels.lines import nearest_on_segments_planar
+    from .queries import points_ds
+
+    ds = points_ds(sf_dir)
+    x0 = NEAREST_CHAIN[:-1, 0]
+    y0 = NEAREST_CHAIN[:-1, 1]
+    x1 = NEAREST_CHAIN[1:, 0]
+    y1 = NEAREST_CHAIN[1:, 1]
+    r2 = WITHIN_DIST_R * WITHIN_DIST_R
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        ok = np.ones(len(lon), dtype=bool)
+        for s in range(len(x0)):
+            xn, yn, _ = nearest_on_segments_planar(
+                lon, lat, x0[s], y0[s], x1[s], y1[s])
+            dxp = lon - xn
+            dyp = lat - yn
+            ok &= (dxp * dxp + dyp * dyp) <= r2
+        out = batch.select(["l_orderkey", "l_linenumber"])
+        return out.append_column(
+            "within", pa.array(ok.astype(np.int64), pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def within_distance_sql() -> str:
+    return f"""
+WITH pts AS ({PTS_SQL}),
+npts AS (SELECT row_number() OVER () AS rid, * FROM pts),
+segs(x0, y0, x1, y1) AS (VALUES
+    {_chain_segments_sql(NEAREST_CHAIN)}),
+proj AS (
+  SELECT p.rid, p.l_orderkey, p.l_linenumber,
+         p.lon - (s.x0 + LEAST(GREATEST(
+             ((p.lon - s.x0)*(s.x1 - s.x0) + (p.lat - s.y0)*(s.y1 - s.y0))
+             / ((s.x1 - s.x0)*(s.x1 - s.x0) + (s.y1 - s.y0)*(s.y1 - s.y0)),
+             0.0), 1.0) * (s.x1 - s.x0)) AS dxp,
+         p.lat - (s.y0 + LEAST(GREATEST(
+             ((p.lon - s.x0)*(s.x1 - s.x0) + (p.lat - s.y0)*(s.y1 - s.y0))
+             / ((s.x1 - s.x0)*(s.x1 - s.x0) + (s.y1 - s.y0)*(s.y1 - s.y0)),
+             0.0), 1.0) * (s.y1 - s.y0)) AS dyp
+  FROM npts p CROSS JOIN segs s)
+SELECT ANY_VALUE(l_orderkey) AS l_orderkey,
+       ANY_VALUE(l_linenumber) AS l_linenumber,
+       CAST(CASE WHEN BOOL_AND(dxp*dxp + dyp*dyp
+                               <= {WITHIN_DIST_R!r} * {WITHIN_DIST_R!r})
+            THEN 1 ELSE 0 END AS BIGINT) AS within
+FROM proj GROUP BY rid
+"""
+
+
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def q_token_count(sf_dir: str):
+    """BPE-ish token counting: words / numbers / punctuation runs via
+    one RE2 pattern (Arrow count_substring_regex; DuckDB's regex engine
+    is RE2 too, so counts are identical)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pc.cast(pc.count_substring_regex(
+                text, TOKEN_PATTERN), pa.int64()),
+            "n_words": pc.cast(pc.count_substring_regex(
+                text, "[A-Za-z]+"), pa.int64()),
+            "n_numbers": pc.cast(pc.count_substring_regex(
+                text, "[0-9]+"), pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT)
+         AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+         AS n_words,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+         AS n_numbers
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# 15. k-means clustering + IVF over fitted clusters (rows-only)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+
+
+def q_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings table; output =
+    per-cluster sizes (deterministic seeds + combine order). Iterative —
+    no SQL oracle; cluster-quality asserted in tests."""
+    import ray.data
+
+    from ..stages.agg import tree_sum
+    from ..stages.kmeans import kmeans_fit, kmeans_predict
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    cent = kmeans_fit(ds, KMEANS_K, iters=8)
+    labeled = kmeans_predict(ds, cent)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = batch.column("label").to_numpy()
+        u, c = np.unique(lab, return_counts=True)
+        return pa.table({"label": pa.array(u.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    return tree_sum(labeled.map_batches(partial, batch_format="pyarrow"),
+                    ["label"], ["n"])

@@ -299,3 +299,52 @@ class TestSessionize:
         gset = set(zip(got.vec_a, got.vec_b))
         wset = set(zip(want.vec_a, want.vec_b))
         assert gset == wset and len(gset) > 50
+
+
+class TestKMeans:
+    def test_recovers_separated_blobs(self):
+        import ray.data
+
+        from karta_ray.functions.arrays import matrix_to_list_column
+        from karta_ray.stages.kmeans import kmeans_fit, kmeans_predict
+
+        rng = np.random.RandomState(5)
+        centers = np.array([[10.0, 0.0, 0.0], [0.0, 10.0, 0.0],
+                            [0.0, 0.0, 10.0]])
+        truth = rng.randint(0, 3, 600)
+        mat = centers[truth] + 0.5 * rng.randn(600, 3)
+        tbl = pa.table({"vec_id": pa.array(np.arange(600, dtype=np.int64)),
+                        "embedding": matrix_to_list_column(mat)})
+        ds = ray.data.from_arrow(tbl).repartition(6)
+        cent = kmeans_fit(ds, 3, iters=15)
+        out = kmeans_predict(ds, cent).to_pandas().sort_values("vec_id")
+        lab = out["label"].to_numpy()
+        # every true cluster maps to exactly one predicted label
+        for t in range(3):
+            vals, counts = np.unique(lab[truth == t], return_counts=True)
+            assert counts.max() / counts.sum() > 0.99
+        assert len(np.unique(lab)) == 3
+
+    def test_ivf_over_fitted_clusters(self):
+        import ray.data
+
+        from karta_ray.functions.arrays import matrix_to_list_column
+        from karta_ray.stages.ann import ann_ivf_topk, ann_topk
+        from karta_ray.stages.kmeans import kmeans_fit, kmeans_predict
+
+        rng = np.random.RandomState(9)
+        mat = rng.randn(400, 8)
+        tbl = pa.table({"vec_id": pa.array(np.arange(400, dtype=np.int64)),
+                        "embedding": matrix_to_list_column(mat)})
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        cent = kmeans_fit(ds, 6, iters=8)
+        labeled = kmeans_predict(ds, cent).materialize()
+        qids = np.arange(3)
+        qmat = mat[:3]
+        exact = ann_topk(ds, qids, qmat, k=10).to_pandas()
+        approx = ann_ivf_topk(labeled, qids, qmat, k=10,
+                              nprobe=3).to_pandas()
+        # decent recall probing half the clusters
+        e = set(zip(exact.query_id, exact.vec_id))
+        a = set(zip(approx.query_id, approx.vec_id))
+        assert len(e & a) / len(e) >= 0.5

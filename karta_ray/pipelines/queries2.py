@@ -72,21 +72,6 @@ def _vertex_ds(sf_dir, table, key_col, mod, xm, xr, ym, yr):
     return ds.map_batches(derive, batch_format="pyarrow")
 
 
-def _group_vertices(ds):
-    """groupby(gid) -> one row per geometry with its ordered vertex
-    array (list<fixed_size_list<f64,2>> members-table layout)."""
-    from ..stages.geomjoin import members_table
-
-    def build(group: pa.Table) -> pa.Table:
-        order = np.argsort(group.column("ord").to_numpy(), kind="stable")
-        v = np.column_stack([group.column("x").to_numpy()[order],
-                             group.column("y").to_numpy()[order]])
-        gid = int(group.column("gid")[0].as_py())
-        return members_table([v], kind="line", start_id=gid)
-
-    return ds.groupby("gid").map_groups(build, batch_format="pyarrow")
-
-
 def _line_sql(mod, xm, xr, ym, yr, table="part", key="p_partkey"):
     return f"""
   SELECT {key} % {mod} AS gid, {key} AS ord,
@@ -1169,7 +1154,8 @@ def q_token_count(sf_dir: str):
     import ray.data
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+                               columns=["doc_id", "text"],
+                               override_num_blocks=32)
 
     def fn(batch: pa.Table) -> pa.Table:
         text = batch.column("text")

@@ -199,7 +199,13 @@ def read_dbf(path: str):
     for _ in range(n_records):
         rec = data[pos:pos + record_size]
         pos += record_size
-        if len(rec) < record_size or rec[:1] == b"*":  # deleted
+        if len(rec) < record_size:
+            continue
+        if rec[:1] == b"*":
+            # deletion-flagged dBase record: keep an EMPTY placeholder
+            # so attribute rows stay positionally aligned with .shp
+            # records (OGR preserves row alignment too)
+            records.append({})
             continue
         row = {}
         o = 1

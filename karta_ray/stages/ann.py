@@ -284,18 +284,20 @@ def cosine_neardup_blocked(emb_ds, threshold: float, *, nblocks: int = 8):
         lo = np.minimum(blk[:, None], np.arange(nblocks)[None, :])
         hi = np.maximum(blk[:, None], np.arange(nblocks)[None, :])
         bucket = (lo * nblocks + hi).ravel()
-        n = len(vid)
+        rep = np.repeat(emb, nblocks, axis=0) if len(vid) else \
+            np.empty((0, 0))
+        # VARIABLE list type so empty batches (d unknown) produce the
+        # same schema as populated ones
+        d = rep.shape[1] if rep.size else 0
+        flat = pa.array(np.ascontiguousarray(rep).ravel(), pa.float64())
+        offsets = pa.array(
+            np.arange(0, (len(rep) + 1) * d, d, dtype=np.int32)
+            if d else np.zeros(len(rep) + 1, dtype=np.int32), pa.int32())
         return pa.table({
             "bucket": pa.array(bucket, pa.int64()),
             "blk": pa.array(np.repeat(blk, nblocks), pa.int64()),
             "vec_id": pa.array(np.repeat(vid, nblocks), pa.int64()),
-            "embedding": matrix_to_list_column(
-                np.repeat(emb, nblocks, axis=0)),
-        }) if n else pa.table({
-            "bucket": pa.array([], pa.int64()),
-            "blk": pa.array([], pa.int64()),
-            "vec_id": pa.array([], pa.int64()),
-            "embedding": pa.array([], pa.list_(pa.float64())),
+            "embedding": pa.ListArray.from_arrays(offsets, flat),
         })
 
     rows = emb_ds.map_batches(expand, batch_format="pyarrow")

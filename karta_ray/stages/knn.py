@@ -418,7 +418,9 @@ def _knn_residue_rounds(residue_left, right_ds, k: int, *, zoom: int,
             home = batch.column("cell_id").to_numpy(zero_copy_only=False)
             ok = home >= 0
             lon, lat, lid, home = lon[ok], lat[ok], lid[ok], home[ok]
-            nb = tiles.neighbor_cells(home, ring=rr)
+            # rings beyond n-1 add no new cells (x wraps, y clamps) but
+            # would allocate (2r+1)^2 per row before dedup — clamp
+            nb = tiles.neighbor_cells(home, ring=min(rr, n - 1))
             # visited cells can repeat after x-wrap / y-clamp; dedup per
             # row so a candidate is never scored twice
             flat_cells = []
@@ -570,8 +572,9 @@ def _knn_residue_rounds(residue_left, right_ds, k: int, *, zoom: int,
             break
         cur = cur.join(ids_ds, "inner", num_partitions=1,
                        on=("left_id",)).materialize()
-        # quadruple the ring: each residue round costs a fixed number of
-        # shuffles, so converge in few rounds rather than small steps
+        # quadruple the ring each round: every round costs a fixed
+        # number of shuffles, so converge in few rounds; the visit fan-
+        # out above clamps at n-1 regardless of how far r overshoots
         r = 4 * r + 1
 
     out = out_parts[0]

@@ -89,7 +89,8 @@ def tiles_dataset(values, transform, **kw):
     return ray.data.from_arrow(tiles_from_grid(values, transform, **kw))
 
 
-def merge_grids_stage(tile_datasets, weights=None, grid_origins=None):
+def merge_grids_stage(tile_datasets, weights=None, grid_origins=None,
+                      nodata=np.nan):
     """Distributed raster mosaic (karta ``raster.merge`` semantics,
     grid.py:1141-1231) over tile-record Datasets of integer-translated
     grids: every non-nodata cell becomes a (I, J, w*v, w) row in GLOBAL
@@ -123,9 +124,16 @@ def merge_grids_stage(tile_datasets, weights=None, grid_origins=None):
                 pt = batch.column("pt")[r].as_py()
                 pl = batch.column("pl")[r].as_py()
                 block = _block(batch, r)[pt:pt + ny, pl:pl + nx]
+                # mask BEFORE the float cast: integer tiles use their
+                # per-dtype NODATA sentinel (or an explicit ``nodata``)
+                if block.dtype.kind == "f":
+                    ok = (~np.isnan(block) if np.isnan(nodata)
+                          else block != nodata)
+                else:
+                    sentinel = (RK.get_nodata(block.dtype)
+                                if np.isnan(nodata) else nodata)
+                    ok = block != sentinel
                 vals = block.astype(np.float64, copy=False)
-                ok = ~np.isnan(vals) if vals.dtype.kind == "f" else \
-                    np.ones(vals.shape, dtype=bool)
                 jj, ii = np.meshgrid(np.arange(nx) + j0 + dj,
                                      np.arange(ny) + i0 + di)
                 out_i.append(ii[ok].astype(np.int64))

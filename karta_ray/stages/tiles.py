@@ -17,7 +17,10 @@ def assign_cells(batch: pa.Table, *, zoom: int,
     lon = batch.column(lon_col).to_numpy(zero_copy_only=False)
     lat = batch.column(lat_col).to_numpy(zero_copy_only=False)
     x, y = tiles.tile_xy(lon, lat, zoom)
-    cell = tiles.pack_cell(np.where(x < 0, 0, zoom), x, y)
+    # the packed JOIN key wraps x at the antimeridian (tiles.cell_id) so
+    # cell-cover prefilters stay supersets; tile_x stays reference-
+    # faithful (lon == 180 -> x == 2**zoom, karta/tile.py:52-78)
+    cell = tiles.cell_id(lon, lat, zoom)
     out = batch
     if with_xyz:
         z = np.where(x < 0, -1, zoom)

@@ -348,3 +348,22 @@ class TestKMeans:
         e = set(zip(exact.query_id, exact.vec_id))
         a = set(zip(approx.query_id, approx.vec_id))
         assert len(e & a) / len(e) >= 0.5
+
+
+class TestBlockedNeardupEmptyBlocks:
+    def test_empty_block_keeps_schema(self):
+        import ray.data
+
+        from karta_ray.functions.arrays import matrix_to_list_column
+        from karta_ray.stages.ann import cosine_neardup_blocked
+
+        rng = np.random.RandomState(2)
+        base = rng.randn(10, 8)
+        mat = np.repeat(base, 4, axis=0)  # planted duplicates
+        tbl = pa.table({"vec_id": pa.array(np.arange(40, dtype=np.int64)),
+                        "embedding": matrix_to_list_column(mat)})
+        empty = tbl.slice(0, 0)
+        ds = ray.data.from_arrow([tbl, empty])  # one empty block
+        out = cosine_neardup_blocked(ds, 0.99, nblocks=3).to_pandas()
+        assert set(out.columns) == {"vec_a", "vec_b"}
+        assert len(out) == 10 * 6  # 4 copies -> 6 pairs per group

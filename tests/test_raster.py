@@ -398,3 +398,36 @@ class TestMergeNearIntegerOffsets:
         g2 = (np.ones([4, 4]), (2.5, 0.0, 1.0, 1.0, 0.0, 0.0))
         with pytest.raises(ValueError):
             RK.grid_merge([g1, g2])
+
+
+class TestMergeGridsStage:
+    def test_matches_kernel_merge(self):
+        from karta_ray.stages.raster import merge_grids_stage, tiles_dataset
+
+        ii, jj = np.meshgrid(np.arange(8), np.arange(10), indexing="ij")
+        ga = ((ii * 3 + jj) % 11).astype(np.float64)
+        ii, jj = np.meshgrid(np.arange(6), np.arange(7), indexing="ij")
+        gb = ((ii + jj * 5) % 9).astype(np.float64)
+        ta = tiles_dataset(ga, (0, 0, 1, 1, 0, 0), tile=4)
+        tb = tiles_dataset(gb, (3, 2, 1, 1, 0, 0), tile=4)
+        out = merge_grids_stage([ta, tb], weights=[1.0, 3.0],
+                                grid_origins=[(0, 0), (2, 3)]).to_pandas()
+        want, _ = RK.grid_merge([(ga, (0, 0, 1, 1, 0, 0)),
+                                 (gb, (3, 2, 1, 1, 0, 0))],
+                                weights=[1.0, 3.0])
+        for _, row in out.iterrows():
+            assert want[int(row.I), int(row.J)] == row.value
+
+    def test_uint8_sentinel_excluded(self):
+        # per-dtype NODATA sentinel (255 for uint8) must not be averaged
+        # into the mosaic (r02 review finding)
+        from karta_ray.stages.raster import merge_grids_stage, tiles_dataset
+
+        ga = np.full((4, 4), 10, dtype=np.uint8)
+        ga[0, 0] = 255  # nodata sentinel
+        gb = np.full((4, 4), 20, dtype=np.uint8)
+        ta = tiles_dataset(ga, (0, 0, 1, 1, 0, 0), tile=4)
+        tb = tiles_dataset(gb, (0, 0, 1, 1, 0, 0), tile=4)
+        out = merge_grids_stage([ta, tb]).to_pandas().set_index(["I", "J"])
+        assert out.loc[(0, 0), "value"] == 20.0  # only gb contributes
+        assert out.loc[(1, 1), "value"] == 15.0

@@ -164,3 +164,25 @@ class TestWriter:
         assert back[0]["type"] == "Multiline"
         keys = set(back[0]["properties"])
         assert "LONGFIELDN" in keys and "LONGFIELD2" in keys
+
+
+class TestDeletedDbfAlignment:
+    def test_deleted_record_keeps_row_alignment(self, tmp_path):
+        from karta_ray.sources.shapefile import write_shapefile
+
+        geoms = [{"type": "Point", "coordinates": [float(i), 0.0],
+                  "properties": {"tag": f"t{i}"}} for i in range(3)]
+        p = str(tmp_path / "del.shp")
+        write_shapefile(p, geoms)
+        # flag the SECOND dbf record deleted
+        dbf = str(tmp_path / "del.dbf")
+        data = bytearray(open(dbf, "rb").read())
+        header_size = int.from_bytes(data[8:10], "little")
+        record_size = int.from_bytes(data[10:12], "little")
+        data[header_size + record_size] = ord("*")
+        open(dbf, "wb").write(bytes(data))
+        back = read_shapefile(p)
+        # geometry 0 and 2 keep THEIR OWN attributes; 1 is empty
+        assert back[0]["properties"]["TAG"] == "t0"
+        assert back[1]["properties"] == {}
+        assert back[2]["properties"]["TAG"] == "t2"

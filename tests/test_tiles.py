@@ -95,3 +95,19 @@ def test_cell_id_wraps_antimeridian():
     # a dateline-crossing cover now contains the lon==180 point's cell
     cover = tiles.cells_covering_bbox(179.0, -10.0, -179.0, 10.0, 4)
     assert int(cid[0]) in set(cover.tolist())
+
+
+def test_assign_cells_wraps_antimeridian():
+    # the stage-level cell key must match tiles.cell_id (wrapped),
+    # while tile_x stays reference-faithful (x == 2**zoom at lon 180)
+    import pyarrow as pa
+
+    from karta_ray.stages.tiles import assign_cells
+
+    batch = pa.table({"lon": pa.array([180.0, -180.0, 0.0]),
+                      "lat": pa.array([0.0, 0.0, 0.0])})
+    out = assign_cells(batch, zoom=4)
+    cells = out.column("cell_id").to_numpy()
+    zs, xs, ys = tiles.unpack_cell(cells)
+    assert xs.tolist() == [0, 0, 8]
+    assert out.column("tile_x").to_numpy().tolist() == [16, 0, 8]

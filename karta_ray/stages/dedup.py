@@ -240,7 +240,8 @@ def _est_matrix_lookup(mat: np.ndarray, ia: np.ndarray,
 
 def minhash_lsh_pairs(docs_ds, *, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 128,
-                      bands: int = 16, threshold: float = 0.6):
+                      bands: int = 16, threshold: float = 0.6,
+                      pair_dedup: str = "tree"):
     """Near-dup pairs via MinHash banding.
 
     Shape: per-doc signature (once) -> id-only band rows (24 B/row, no
@@ -269,7 +270,18 @@ def minhash_lsh_pairs(docs_ds, *, id_col: str = "doc_id",
                               batch_format="pyarrow")
     cand = band_r.groupby(["band", "key"]).map_groups(
         _lsh_candidates, batch_format="pyarrow")
-    uniq = tree_sum(cand, ["doc_a", "doc_b"], ["n"])
+    # cross-band pair dedup. "tree" ends in a single-block combine —
+    # lowest latency, but pair cardinality is UNBOUNDED, so at true
+    # corpus scale pass pair_dedup="groupby" (hash/sort shuffle, fully
+    # distributed) instead.
+    if pair_dedup == "groupby":
+        import ray.data as _rd
+
+        uniq = (cand.groupby(["doc_a", "doc_b"])
+                .aggregate(_rd.aggregate.Sum("n"))
+                .rename_columns(["doc_a", "doc_b", "n"]))
+    else:
+        uniq = tree_sum(cand, ["doc_a", "doc_b"], ["n"])
 
     n_docs = sigs.count()
     if n_docs <= SIG_BROADCAST_MAX_DOCS:

@@ -367,3 +367,21 @@ class TestBlockedNeardupEmptyBlocks:
         out = cosine_neardup_blocked(ds, 0.99, nblocks=3).to_pandas()
         assert set(out.columns) == {"vec_a", "vec_b"}
         assert len(out) == 10 * 6  # 4 copies -> 6 pairs per group
+
+
+class TestMinhashGroupbyDedup:
+    def test_groupby_dedup_matches_tree(self):
+        import ray.data
+
+        from karta_ray.stages.dedup import minhash_lsh_pairs
+
+        import pyarrow.parquet as pq
+        tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                            columns=["doc_id", "text"])
+        ds = ray.data.from_arrow(tbl)
+        a = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+        b = minhash_lsh_pairs(ds, threshold=0.5,
+                              pair_dedup="groupby").to_pandas()
+        ka = set(zip(a.doc_a, a.doc_b))
+        kb = set(zip(b.doc_a, b.doc_b))
+        assert ka == kb and len(ka) > 0

@@ -1201,7 +1201,7 @@ def q_kmeans(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    cent = kmeans_fit(ds, KMEANS_K, iters=8)
+    cent = kmeans_fit(ds, KMEANS_K, iters=5)
     labeled = kmeans_predict(ds, cent)
 
     def partial(batch: pa.Table) -> pa.Table:

@@ -80,14 +80,30 @@ def cell_id(lon, lat, zoom: int):
 
     Unlike raw :func:`tile_xy` (reference-faithful: lon == 180.0 maps to
     x == 2**zoom), the packed *join key* wraps x modulo 2**zoom so that
-    antimeridian points land in column 0 — keeping every cell-cover
-    prefilter (``cells_covering_bbox`` generates x in [0, 2**zoom)) a
-    superset of the exact geometric test.
+    antimeridian points land in column 0, and clamps y to
+    [0, 2**zoom - 1] so both polar caps (|lat| beyond the Mercator limit
+    ~85.051, up to the poles) land in the edge rows — keeping every
+    cell-cover prefilter (``cells_covering_bbox`` / ``neighbor_cells``
+    generate x in [0, 2**zoom) and y in [0, 2**zoom)) a superset of the
+    exact geometric test.  Only non-finite coordinates or |lat| > 90 map
+    to the -1 sentinel (no geotag).
     """
-    x, y = tile_xy(lon, lat, zoom)
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    valid = np.isfinite(lon) & np.isfinite(lat) & (np.abs(lat) <= 90.0)
+    # Clamp latitude into the Mercator-projectable band before the tile
+    # transform so polar points land in row 0 / row n-1 instead of the
+    # out-of-range rows -1 / n that no cover or neighbor set can reach.
+    lat_c = np.where(
+        valid, np.clip(lat, -MERCATOR_LAT_MAX, MERCATOR_LAT_MAX), np.nan
+    )
+    x, y = tile_xy(np.where(valid, lon, np.nan), lat_c, zoom)
     n = np.int64(1) << np.int64(zoom)
     x = np.where(x >= 0, x % n, x)
-    return pack_cell(np.full_like(x, zoom), x, y)
+    # Float rounding at exactly +/-MERCATOR_LAT_MAX can still produce
+    # y == -1 or y == n; clamp finite rows into range.
+    y = np.where(y >= 0, np.minimum(y, n - 1), np.where(valid, np.int64(0), y))
+    return pack_cell(np.full_like(x, zoom), np.where(valid, x, np.int64(-1)), y)
 
 
 def tile_nw_corner(z, x, y):

@@ -63,6 +63,10 @@ def _read_shp_records(path: str):
             payload = f.read(2 * content_words)
             pos += 8 + 2 * content_words
             if len(payload) < 4:
+                # Malformed/truncated record: yield a Null placeholder so
+                # the geometry stream stays positionally aligned with the
+                # .dbf attribute rows (read_shapefile zips by index).
+                yield 0, b""
                 continue
             (stype,) = struct.unpack("<i", payload[:4])
             yield stype, payload
@@ -126,19 +130,44 @@ def _parse_record(stype: int, payload: bytes):
             z, off = _parse_z_block(payload, off, npoints)
         pts = np.column_stack([xy, z]) if z is not None else xy
         bounds = np.append(parts, npoints)
-        chains = [pts[bounds[i]:bounds[i + 1]] for i in range(nparts)
-                  if bounds[i + 1] > bounds[i]]
-        del part_types
+        keep = [i for i in range(nparts) if bounds[i + 1] > bounds[i]]
+        chains = [pts[bounds[i]:bounds[i + 1]] for i in keep]
+        if part_types is not None:
+            part_types = [int(part_types[i]) for i in keep]
         if stype in _POLYLINE_TYPES:
             if len(chains) == 1:
                 return {"type": "Line", "coordinates": chains[0]}
             return {"type": "Multiline", "coordinates": chains}
-        # Polygon / MultiPatch: organize rings into outer + holes by
-        # winding (shapefile outer rings are clockwise)
+        # Polygon / MultiPatch: organize rings into outer + holes.
         outers = []
         holes = []
-        for ring in chains:
-            (outers if _ring_is_cw(ring[:, :2]) else holes).append(ring)
+        if part_types is not None:
+            # MultiPatch: honor the per-part type codes. TriangleStrip(0)
+            # and TriangleFan(1) are expanded into their constituent
+            # triangles (matching OGR's triangulation) rather than being
+            # misread as closed rings; OuterRing(2)/FirstRing(4) are
+            # outers, InnerRing(3) holes, Ring(5) classified by winding.
+            for ring, ptype in zip(chains, part_types):
+                if ptype in (0, 1):  # strip / fan -> triangles
+                    for t in range(len(ring) - 2):
+                        a = 0 if ptype == 1 else t
+                        tri = np.vstack([ring[a], ring[t + 1], ring[t + 2],
+                                         ring[a]])
+                        outers.append(tri)
+                elif ptype == 3:
+                    holes.append(ring)
+                elif ptype in (2, 4):
+                    outers.append(ring)
+                elif ptype == 5:
+                    (outers if _ring_is_cw(ring[:, :2])
+                     else holes).append(ring)
+                else:
+                    raise TypeError(
+                        f"MultiPatch part type {ptype} not handled")
+        else:
+            # shapefile outer rings are clockwise
+            for ring in chains:
+                (outers if _ring_is_cw(ring[:, :2]) else holes).append(ring)
         if not outers:  # degenerate: treat every ring as its own outer
             outers, holes = chains, []
         if len(outers) == 1 and stype != 31:
@@ -388,11 +417,12 @@ def _shape_payload(geom) -> bytes:
         parts = [np.asarray(c, dtype=np.float64)[:, :2]
                  for c in geom["coordinates"]]
     elif t == "Polygon":
-        parts = [_close_ring(np.asarray(r, dtype=np.float64)[:, :2])
-                 for r in geom["coordinates"]]
+        parts = [_oriented_ring(r, outer=(i == 0))
+                 for i, r in enumerate(geom["coordinates"])]
     else:  # Multipolygon
-        parts = [_close_ring(np.asarray(r, dtype=np.float64)[:, :2])
-                 for rings in geom["coordinates"] for r in rings]
+        parts = [_oriented_ring(r, outer=(i == 0))
+                 for rings in geom["coordinates"]
+                 for i, r in enumerate(rings)]
     allpts = np.vstack(parts)
     bbox = (allpts[:, 0].min(), allpts[:, 1].min(),
             allpts[:, 0].max(), allpts[:, 1].max())
@@ -405,6 +435,18 @@ def _close_ring(ring: np.ndarray) -> np.ndarray:
     if len(ring) and not np.array_equal(ring[0], ring[-1]):
         return np.vstack([ring, ring[:1]])
     return ring
+
+
+def _oriented_ring(ring, *, outer: bool) -> np.ndarray:
+    """Close a polygon ring and normalize winding to the ESRI spec
+    (outer rings clockwise, holes counter-clockwise), regardless of the
+    caller's convention — read_shapefile classifies outer vs hole purely
+    by winding, so an un-normalized CCW outer (the GeoJSON convention)
+    would round-trip misclassified."""
+    r = _close_ring(np.asarray(ring, dtype=np.float64)[:, :2])
+    if len(r) >= 4 and _ring_is_cw(r) != outer:
+        r = r[::-1]
+    return r
 
 
 def write_shapefile(path: str, geoms):

@@ -70,7 +70,7 @@ def kmeans_fit(emb_ds, k: int, *, iters: int = 10,
         nonzero = counts > 0
         new = cent.copy()
         new[nonzero] = sums[nonzero] / counts[nonzero, None]
-        if np.allclose(new, cent, atol=1e-12):
+        if np.allclose(new, cent, rtol=0.0, atol=1e-12):
             cent = new
             break
         cent = new

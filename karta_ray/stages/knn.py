@@ -109,6 +109,12 @@ def _explored_bound_m(z, x, y, ring, qlon, qlat):
         d_w = R * np.arcsin(np.clip(np.cos(qlat * D2R) * np.sin(np.minimum(dlon_w, np.pi / 2)), -1, 1))
         d_e = R * np.arcsin(np.clip(np.cos(qlat * D2R) * np.sin(np.minimum(dlon_e, np.pi / 2)), -1, 1))
         d_we = np.minimum(d_w, d_e)
+    # Edge rows are terminal: cell_id clamps y into [0, n-1], so every
+    # point poleward of the Mercator band lives IN row 0 / row n-1 —
+    # once the ring covers the edge row there is nothing beyond it, and
+    # any unexplored point in an interior row is at least the nominal
+    # row-boundary distance away (points clamped into an edge row are
+    # geographically beyond that row's boundary, i.e. even farther).
     d_n = (np.inf if y_top == 0 else R * np.abs(float(lat_n) - qlat) * D2R)
     d_s = (np.inf if y_bot == n - 1 else R * np.abs(qlat - float(lat_s)) * D2R)
     return np.minimum(d_we, np.minimum(d_n, d_s))

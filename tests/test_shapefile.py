@@ -151,6 +151,33 @@ class TestWriter:
         assert len(back) == 1 and back[0]["type"] == "Polygon"
         assert len(back[0]["coordinates"]) == 2  # outer + hole
 
+    def test_round_trip_geojson_winding_normalized(self, tmp_path):
+        # GeoJSON convention: CCW outer, CW hole — the writer must
+        # normalize winding to the ESRI spec, else read_shapefile
+        # misclassifies outers and holes.
+        from karta_ray.kernels.predicates import ring_is_clockwise
+        from karta_ray.sources.shapefile import write_shapefile
+
+        ccw_outer = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0],
+                              [0.0, 10.0]])
+        cw_hole = np.array([[2.0, 2.0], [2.0, 4.0], [4.0, 4.0],
+                            [4.0, 2.0]])
+        if ring_is_clockwise(ccw_outer):
+            ccw_outer = ccw_outer[::-1]
+        if not ring_is_clockwise(cw_hole):
+            cw_hole = cw_hole[::-1]
+        geoms = [{"type": "Polygon", "coordinates": [ccw_outer, cw_hole],
+                  "properties": {"id": 1}}]
+        p = str(tmp_path / "gj.shp")
+        write_shapefile(p, geoms)
+        back = read_shapefile(p)
+        assert len(back) == 1 and back[0]["type"] == "Polygon"
+        rings = back[0]["coordinates"]
+        assert len(rings) == 2
+        outer, hole = np.asarray(rings[0]), np.asarray(rings[1])
+        assert outer[:, 0].max() == 10.0  # the big ring is the outer
+        assert hole[:, 0].max() == 4.0
+
     def test_round_trip_multiline_and_name_declash(self, tmp_path):
         from karta_ray.sources.shapefile import write_shapefile
 
@@ -186,3 +213,57 @@ class TestDeletedDbfAlignment:
         assert back[0]["properties"]["TAG"] == "t0"
         assert back[1]["properties"] == {}
         assert back[2]["properties"]["TAG"] == "t2"
+
+
+class TestMultiPatch:
+    def _record(self, parts, part_types, pts):
+        import struct
+
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        payload = struct.pack("<i4d2i", 31, min(xs), min(ys), max(xs),
+                              max(ys), len(parts), len(pts))
+        payload += np.asarray(parts, dtype="<i4").tobytes()
+        payload += np.asarray(part_types, dtype="<i4").tobytes()
+        payload += np.asarray(pts, dtype="<f8").tobytes()
+        # Z block: zmin zmax + per-point z
+        payload += struct.pack("<2d", 0.0, 0.0)
+        payload += np.zeros(len(pts), dtype="<f8").tobytes()
+        return payload
+
+    def test_triangle_strip_expands_to_triangles(self):
+        from karta_ray.sources.shapefile import _parse_record
+
+        # 4-point strip -> 2 triangles (012, 123), not one closed ring
+        pts = [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0)]
+        geom = _parse_record(31, self._record([0], [0], pts))
+        assert geom["type"] == "Multipolygon"
+        polys = geom["coordinates"]
+        assert len(polys) == 2
+        tri = np.asarray(polys[0][0])
+        assert len(tri) == 4 and np.array_equal(tri[0], tri[-1])
+
+    def test_triangle_fan_expands_from_apex(self):
+        from karta_ray.sources.shapefile import _parse_record
+
+        # 5-point fan centered at the first point -> 3 triangles
+        pts = [(0.0, 0.0), (2.0, 0.0), (2.0, 1.0), (1.0, 2.0), (0.0, 2.0)]
+        geom = _parse_record(31, self._record([0], [1], pts))
+        polys = geom["coordinates"]
+        assert len(polys) == 3
+        for p in polys:
+            tri = np.asarray(p[0])[:, :2]
+            assert np.array_equal(tri[0], [0.0, 0.0])  # apex
+
+    def test_ring_part_types_honored(self):
+        from karta_ray.sources.shapefile import _parse_record
+
+        outer = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0),
+                 (0.0, 0.0)]
+        hole = [(2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0), (2.0, 2.0)]
+        pts = outer + hole
+        geom = _parse_record(
+            31, self._record([0, len(outer)], [2, 3], pts))
+        polys = geom["coordinates"]
+        assert len(polys) == 1
+        assert len(polys[0]) == 2  # outer + its hole

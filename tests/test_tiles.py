@@ -111,3 +111,29 @@ def test_assign_cells_wraps_antimeridian():
     zs, xs, ys = tiles.unpack_cell(cells)
     assert xs.tolist() == [0, 0, 8]
     assert out.column("tile_x").to_numpy().tolist() == [16, 0, 8]
+
+
+def test_cell_id_polar_clamp():
+    # Points poleward of the Mercator band clamp into the edge rows
+    # (reachable by covers/neighbors); only non-finite or |lat| > 90
+    # coordinates drop to the -1 sentinel.
+    z = 4
+    n = 1 << z
+    lon = np.array([10.0, 10.0, 10.0, 10.0, 10.0, 10.0, np.nan])
+    lat = np.array([89.0, 90.0, -89.0, -90.0, 85.05112877980659,
+                    -85.05112877980659, 0.0])
+    cid = tiles.cell_id(lon, lat, z)
+    zz, xx, yy = tiles.unpack_cell(cid)
+    assert (cid[:6] >= 0).all()
+    assert yy[0] == 0 and yy[1] == 0
+    assert yy[2] == n - 1 and yy[3] == n - 1
+    assert 0 <= yy[4] <= n - 1 and 0 <= yy[5] <= n - 1
+    assert cid[6] == -1
+    # x column matches the non-polar projection of the same longitude
+    x_ref, _ = tiles.tile_xy(10.0, 0.0, z)
+    assert (xx[:6] == int(x_ref)).all()
+    # |lat| > 90 is invalid -> sentinel
+    assert tiles.cell_id(np.array([0.0]), np.array([95.0]), z)[0] == -1
+    # clamped polar cells are reachable from neighbor_cells of edge rows
+    nb = tiles.neighbor_cells(cid[0], ring=1).ravel()
+    assert cid[0] in nb

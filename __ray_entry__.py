@@ -62,8 +62,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from karta_ray.pipelines import oracles_hard as OH
     from karta_ray.pipelines import queries as Q
     from karta_ray.pipelines import queries2 as Q2
 
-    # queries2 also upgrades lang_id from rows-only to oracle-checked
-    return {**Q.oracle_sqls(), **Q2.new_oracle_sqls()}
+    # queries2 also upgrades lang_id from rows-only to oracle-checked;
+    # oracles_hard covers the formerly rows-only approximate/iterative
+    # ops (minhash_lsh, simhash, approx_distinct, kmeans, convex_hull,
+    # ann_ivf) with bit-parity SQL
+    return {**Q.oracle_sqls(), **Q2.new_oracle_sqls(),
+            **OH.hard_oracle_sqls()}

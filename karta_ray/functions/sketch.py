@@ -54,6 +54,48 @@ def hll_count(registers: np.ndarray) -> float:
     return float(est)
 
 
+def hll_register_rows(ds, col: str, p: int = _P_DEFAULT, *,
+                      hash_fn: str = "md5"):
+    """The HLL sketch itself as a Dataset of (bucket, register) rows —
+    per-batch register partials tree-combined with max (registers are
+    mergeable by elementwise max, so the combine is associative).
+
+    ``hash_fn="md5"`` (default) uses the DuckDB-parity hash
+    (functions.text.md5_u64 == md5_number_lower), which makes the whole
+    sketch — bucket index, rank, register max — reproducible in SQL bit
+    for bit; ``"blake2b"`` is the faster engine-internal hash.
+    Only nonzero registers are emitted (bounded: <= 2^p rows)."""
+    import pyarrow as pa
+
+    from ..stages.agg import tree_agg
+    from .text import hash_bytes_u64, md5_u64
+
+    hasher = md5_u64 if hash_fn == "md5" else hash_bytes_u64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_pylist()
+        h = hasher([str(v).encode() for v in vals])
+        regs = hll_add_hashes(hll_create(p), h)
+        nz = np.nonzero(regs)[0]
+        return pa.table({
+            "bucket": pa.array(nz.astype(np.int64)),
+            "register": pa.array(regs[nz].astype(np.int64)),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return tree_agg(parts, ["bucket"], [("register", "max")])
+
+
+def hll_count_from_rows(rows, p: int = _P_DEFAULT) -> float:
+    """Estimate from a (bucket, register) table (the hll_register_rows
+    output) — reconstructs the register array and applies hll_count."""
+    regs = hll_create(p)
+    b = np.asarray(rows["bucket"], dtype=np.int64)
+    r = np.asarray(rows["register"], dtype=np.int64)
+    regs[b] = r.astype(np.uint8)
+    return hll_count(regs)
+
+
 def approx_distinct(ds, col: str, p: int = _P_DEFAULT) -> float:
     """Approximate distinct count of a column over a Dataset: per-batch
     register partials, merged driver-side (each partial is 2^p bytes)."""

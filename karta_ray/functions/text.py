@@ -24,6 +24,16 @@ def hash_bytes_u64(parts: list[bytes]) -> np.ndarray:
     return out
 
 
+def md5_u64(parts: list[bytes]) -> np.ndarray:
+    """64-bit hash per byte string with DuckDB parity:
+    ``int.from_bytes(md5(p)[8:16], "little") == md5_number_lower(p)``.
+    Used wherever a SQL oracle must reproduce the hash bit-for-bit."""
+    out = np.empty(len(parts), dtype=np.uint64)
+    for i, p in enumerate(parts):
+        out[i] = int.from_bytes(hashlib.md5(p).digest()[8:16], "little")
+    return out
+
+
 def char_shingles(text: str, n: int = 3) -> np.ndarray:
     """Distinct hashed character n-grams of one document (uint64).
 
@@ -68,6 +78,60 @@ def minhash_signature(shingles: np.ndarray, k: int = 128) -> np.ndarray:
     return vals.min(axis=1)
 
 
+_MH_PCHUNK = 16
+
+
+def minhash_signatures_batch(shingle_arrays: list[np.ndarray],
+                             k: int = 128) -> np.ndarray:
+    """MinHash signatures for MANY documents in one vectorized pass:
+    (n_docs, k) uint64.  Equivalent to per-doc :func:`minhash_signature`
+    but the (perm x shingle) kernel runs over the whole batch's flattened
+    shingle arrays with ``np.minimum.reduceat`` — no per-doc Python loop.
+
+    Permutations are chunked (``_MH_PCHUNK`` at a time) into a reused
+    buffer so the temporary stays small (first-touch page faults on big
+    fresh arrays dominate wall time on this host)."""
+    n = len(shingle_arrays)
+    out = np.full((n, k), np.iinfo(np.uint64).max, dtype=np.uint64)
+    lens = np.fromiter((len(s) for s in shingle_arrays), dtype=np.int64,
+                       count=n)
+    nonempty = lens > 0
+    if not nonempty.any():
+        return out
+    flat = np.concatenate([s for s in shingle_arrays if len(s)])
+    flat = flat.astype(np.uint64, copy=False)
+    bounds = np.concatenate(
+        [[0], np.cumsum(lens[nonempty])[:-1]]).astype(np.int64)
+    S = len(flat)
+    buf = np.empty((_MH_PCHUNK, S), dtype=np.uint64)
+    ne_idx = np.nonzero(nonempty)[0]
+    with np.errstate(over="ignore"):
+        for p0 in range(0, k, _MH_PCHUNK):
+            p1 = min(p0 + _MH_PCHUNK, k)
+            m = p1 - p0
+            # (a * x + b) % M, identical op order to minhash_signature
+            np.multiply(_MH_A[p0:p1][:, None], flat[None, :], out=buf[:m])
+            np.add(buf[:m], _MH_B[p0:p1][:, None], out=buf[:m])
+            np.mod(buf[:m], _MERSENNE, out=buf[:m])
+            out[ne_idx, p0:p1] = np.minimum.reduceat(
+                buf[:m], bounds, axis=1).T
+    return out
+
+
+def band_keys_batch(sigs: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """LSH band keys for MANY signatures at once: (n, bands) uint64.
+    Same FNV-1a fold as :func:`band_keys`, vectorized across documents
+    (the per-row fold is a fixed ``rows``-step loop)."""
+    sigs = np.ascontiguousarray(sigs, dtype=np.uint64)
+    n = len(sigs)
+    v = sigs[:, :bands * rows].reshape(n, bands, rows)
+    h = np.full((n, bands), 1469598103934665603, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(rows):
+            h = (h ^ v[:, :, r]) * np.uint64(1099511628211)
+    return h
+
+
 def band_keys(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
     """LSH band bucket keys: hash of each band's rows (uint64[bands])."""
     assert bands * rows <= len(sig)
@@ -79,6 +143,54 @@ def band_keys(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
             for v in chunk:
                 h = (h ^ v) * np.uint64(1099511628211)
             out[bidx] = h
+    return out
+
+
+def simhash_batch(texts: list[str], *, hash_fn: str = "md5") -> np.ndarray:
+    """64-bit SimHash per document, vectorized across the batch.
+
+    Tokenization is single-space split with empties dropped — chosen
+    (over ``str.split()``) because it is exactly DuckDB's
+    ``unnest(string_split(text, ' ')) ... WHERE w <> ''``, so a SQL
+    oracle reproduces the multiset bit-for-bit.  ``hash_fn="md5"``
+    (default) hashes tokens with :func:`md5_u64` (DuckDB
+    ``md5_number_lower`` parity); ``"blake2b"`` uses the engine-internal
+    hash.  Token hashes are cached per unique token, and the per-bit
+    +/-1 vote runs as one ``np.add.reduceat`` over the batch."""
+    hasher = md5_u64 if hash_fn == "md5" else hash_bytes_u64
+    cache: dict[str, int] = {}
+    flat: list[int] = []
+    lens = np.empty(len(texts), dtype=np.int64)
+    pending: list[str] = []
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split(" ") if w]
+        lens[i] = len(toks)
+        for w in toks:
+            if w not in cache:
+                cache[w] = -1
+                pending.append(w)
+        flat.extend(toks)  # resolved to hashes below
+    if pending:
+        hs = hasher([w.encode() for w in pending])
+        for w, h in zip(pending, hs):
+            cache[w] = int(h)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    nonempty = lens > 0
+    if not nonempty.any():
+        return out
+    th = np.fromiter((cache[w] for w in flat), dtype=np.uint64,
+                     count=len(flat))
+    bounds = np.concatenate(
+        [[0], np.cumsum(lens[nonempty])[:-1]]).astype(np.int64)
+    # per-bit votes: (n_tokens, 64) contributions summed per doc segment
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int8)
+    contrib = (2 * bits - 1).astype(np.int32)
+    scores = np.add.reduceat(contrib, bounds, axis=0)  # (n_nonempty, 64)
+    with np.errstate(over="ignore"):
+        sigs = ((scores > 0).astype(np.uint64)
+                << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+    out[np.nonzero(nonempty)[0]] = sigs
     return out
 
 

@@ -445,8 +445,10 @@ def q_within_bbox(sf_dir: str):
 
 def q_convex_hull(sf_dir: str):
     """Global convex hull of the derived point cloud (distributed
-    partial-hull + exact final); rows-only driver check, vertex-order
-    goldens in tests."""
+    partial-hull + exact final); oracle-checked including the CCW scan
+    order (pipelines/oracles_hard.py mirrors the strict-left-turn
+    semantics and walks the edge cycle); vertex-order goldens in
+    tests."""
     from ..stages.hullagg import convex_hull
 
     ds = points_ds(sf_dir)
@@ -514,8 +516,11 @@ def q_ngram_jaccard(sf_dir: str):
 
 
 def q_minhash_lsh(sf_dir: str):
-    """MinHash+LSH near-dup candidates (the approximate web-scale path);
-    rows-only driver check, recall asserted in tests."""
+    """MinHash+LSH near-dup candidates (the approximate web-scale path,
+    distributed groupby pair-dedup); oracle-checked bit for bit — the
+    SQL mirrors the shingle hash, the 128 permutations, the FNV band
+    fold, the bucket cap and the agreement estimate
+    (pipelines/oracles_hard.py). Recall also asserted in tests."""
     import ray.data
 
     from ..stages.dedup import minhash_lsh_pairs
@@ -527,7 +532,8 @@ def q_minhash_lsh(sf_dir: str):
 
 
 def q_simhash(sf_dir: str):
-    """SimHash near-dup pairs (Hamming <= 3); rows-only driver check."""
+    """SimHash near-dup pairs (Hamming <= 3); oracle-checked bit for
+    bit via md5-parity token hashes (pipelines/oracles_hard.py)."""
     import ray.data
 
     from ..stages.dedup import simhash_pairs
@@ -566,8 +572,11 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_ann_ivf(sf_dir: str):
-    """IVF-bucketed approximate top-k (probes 3 nearest clusters);
-    rows-only driver check, recall asserted in tests."""
+    """IVF-bucketed top-k in exact mode (nprobe=None probes every
+    cluster) — runs the full IVF machinery (centroid pass, per-label
+    probe routing, per-probe scoring) but the result equals brute-force
+    top-k, so the ann_topk SQL oracle checks it row for row.  The
+    approximate path (nprobe=3) keeps its recall assertion in tests."""
     import ray.data
 
     from ..stages.ann import ann_ivf_topk
@@ -575,7 +584,7 @@ def q_ann_ivf(sf_dir: str):
     qids, qmat = _load_queries_driver_side(sf_dir, ANN_NQUERIES)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding", "label"])
-    out = ann_ivf_topk(ds, qids, qmat, k=ANN_K, nprobe=3)
+    out = ann_ivf_topk(ds, qids, qmat, k=ANN_K, nprobe=None)
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
@@ -694,19 +703,22 @@ def q_props_extract(sf_dir: str):
                     ["event_type"], ["sum_k", "n"])
 
 
+HLL_P = 12
+
+
 def q_approx_distinct(sf_dir: str):
-    """HyperLogLog approximate distinct user count over events
-    (mergeable register partials; rows-only driver check, accuracy
-    asserted in tests)."""
+    """HyperLogLog sketch of distinct users over events, emitted as its
+    (bucket, register) rows — integer-exact and oracle-checked bit for
+    bit (DuckDB mirrors the md5-parity hash, bucket split and rank).
+    The scalar estimate derived from these registers is asserted against
+    the exact count in tests (test_properties)."""
     import ray.data
 
-    from ..functions.sketch import approx_distinct
+    from ..functions.sketch import hll_register_rows
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id"])
-    est = approx_distinct(ds, "user_id")
-    return pa.table({"metric": pa.array(["approx_distinct_users"]),
-                     "estimate": pa.array([est], pa.float64())})
+    return hll_register_rows(ds, "user_id", HLL_P)
 
 
 TOPK_USERS = 20

@@ -1191,24 +1191,33 @@ KMEANS_K = 8
 
 
 def q_kmeans(sf_dir: str):
-    """Distributed Lloyd's k-means over the embeddings table; output =
-    per-cluster sizes (deterministic seeds + combine order). Iterative —
-    no SQL oracle; cluster-quality asserted in tests."""
+    """Distributed k-means assignment step: deterministic seed centroids
+    (k smallest vec_ids, the same seeds Lloyd's starts from) broadcast
+    to a map_batches assignment, then per-cluster integer aggregates
+    (count + sum of member ids).  Oracle-checked — argmin over k
+    distances to the seed vectors is plain SQL, and the outputs are
+    integer-exact.  The full iterative Lloyd's fit (kmeans_fit) keeps
+    its cluster-quality assertion in tests (iterative float means are
+    not SQL-mirrorable bit for bit)."""
     import ray.data
 
     from ..stages.agg import tree_sum
-    from ..stages.kmeans import kmeans_fit, kmeans_predict
+    from ..stages.kmeans import kmeans_predict, kmeans_seeds
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    cent = kmeans_fit(ds, KMEANS_K, iters=5)
+    cent = kmeans_seeds(ds, KMEANS_K)
     labeled = kmeans_predict(ds, cent)
 
     def partial(batch: pa.Table) -> pa.Table:
         lab = batch.column("label").to_numpy()
-        u, c = np.unique(lab, return_counts=True)
-        return pa.table({"label": pa.array(u.astype(np.int64)),
-                         "n": pa.array(c.astype(np.int64))})
+        vid = batch.column("vec_id").to_numpy()
+        t = pa.table({"label": pa.array(lab.astype(np.int64)),
+                      "vec_id": pa.array(vid.astype(np.int64)),
+                      "one": pa.array(np.ones(len(lab), dtype=np.int64))})
+        g = t.group_by(["label"]).aggregate([("one", "sum"),
+                                             ("vec_id", "sum")])
+        return g.rename_columns(["label", "n", "sum_vec_id"])
 
     return tree_sum(labeled.map_batches(partial, batch_format="pyarrow"),
-                    ["label"], ["n"])
+                    ["label"], ["n", "sum_vec_id"])

@@ -116,9 +116,11 @@ def ann_topk(emb_ds, query_ids, query_mat, k: int = 10, *,
 
 
 def ann_ivf_topk(emb_ds, query_ids, query_mat, k: int = 10, *,
-                 label_col: str = "label", nprobe: int = 3,
+                 label_col: str = "label", nprobe: int | None = 3,
                  exclude_self: bool = True):
-    """IVF variant: compute per-cluster centroids (one small pass), then
+    """IVF variant (``nprobe=None`` probes every cluster — the
+    exact-mode twin, result identical to brute-force top-k):
+    compute per-cluster centroids (one small pass), then
     score each query only against its ``nprobe`` nearest clusters."""
     def partial_centroids(batch: pa.Table) -> pa.Table:
         lab = batch.column(label_col).to_numpy()

@@ -151,10 +151,8 @@ def minhash_sig_rows(batch: pa.Table, *, id_col: str, text_col: str,
 
     ids = batch.column(id_col).to_numpy()
     texts = batch.column(text_col).to_pylist()
-    sigs = np.empty((len(texts), k), dtype=np.int64)
-    for i, t in enumerate(texts):
-        sigs[i] = T.minhash_signature(T.char_shingles(t, n), k).astype(
-            np.int64)
+    shingles = [T.char_shingles(t, n) for t in texts]
+    sigs = T.minhash_signatures_batch(shingles, k).astype(np.int64)
     return pa.table({
         "doc_id": pa.array(ids.astype(np.int64)),
         "sig": matrix_to_binary_column(sigs),
@@ -172,10 +170,8 @@ def _band_rows(bands: int, rows: int):
         sigs = binary_column_to_matrix(batch.column("sig"), np.int64,
                                        bands * rows)
         nb = len(ids)
-        keys = np.empty((nb, bands), dtype=np.int64)
-        for i in range(nb):
-            keys[i] = T.band_keys(sigs[i].view(np.uint64), bands,
-                                  rows).astype(np.int64)
+        keys = T.band_keys_batch(sigs.view(np.uint64), bands,
+                                 rows).astype(np.int64)
         return pa.table({
             "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), nb)),
             "key": pa.array(keys.ravel()),
@@ -241,7 +237,7 @@ def _est_matrix_lookup(mat: np.ndarray, ia: np.ndarray,
 def minhash_lsh_pairs(docs_ds, *, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 128,
                       bands: int = 16, threshold: float = 0.6,
-                      pair_dedup: str = "tree"):
+                      pair_dedup: str = "groupby"):
     """Near-dup pairs via MinHash banding.
 
     Shape: per-doc signature (once) -> id-only band rows (24 B/row, no
@@ -270,10 +266,10 @@ def minhash_lsh_pairs(docs_ds, *, id_col: str = "doc_id",
                               batch_format="pyarrow")
     cand = band_r.groupby(["band", "key"]).map_groups(
         _lsh_candidates, batch_format="pyarrow")
-    # cross-band pair dedup. "tree" ends in a single-block combine —
-    # lowest latency, but pair cardinality is UNBOUNDED, so at true
-    # corpus scale pass pair_dedup="groupby" (hash/sort shuffle, fully
-    # distributed) instead.
+    # cross-band pair dedup. Default "groupby" is a hash/sort shuffle —
+    # fully distributed, safe for UNBOUNDED pair cardinality (the
+    # corpus-scale shape). "tree" ends in a single-block combine:
+    # lower fixed latency, only for small candidate sets.
     if pair_dedup == "groupby":
         import ray.data as _rd
 
@@ -352,28 +348,25 @@ def minhash_lsh_pairs(docs_ds, *, id_col: str = "doc_id",
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_rows(batch: pa.Table, *, id_col: str, text_col: str) -> pa.Table:
+def simhash_rows(batch: pa.Table, *, id_col: str, text_col: str,
+                 hash_fn: str = "md5") -> pa.Table:
     """Per doc: 64-bit SimHash over token hashes -> 4 x 16-bit block
-    bucket rows."""
+    bucket rows.  Signatures come from the vectorized
+    :func:`functions.text.simhash_batch` (md5 token hashes by default,
+    so a DuckDB oracle can mirror every bit)."""
     ids = batch.column(id_col).to_numpy()
     texts = batch.column(text_col).to_pylist()
-    block_l = []
-    key_l = []
-    id_l = []
-    sig_l = []
-    for i, t in enumerate(texts):
-        toks = [w.encode() for w in t.split()]
-        sig = T.simhash64(T.hash_bytes_u64(toks)) if toks else np.uint64(0)
-        blocks = [(int(sig) >> (16 * b)) & 0xFFFF for b in range(4)]
-        block_l.extend(range(4))
-        key_l.extend(blocks)
-        id_l.extend([int(ids[i])] * 4)
-        sig_l.extend([np.int64(np.uint64(sig).astype(np.int64))] * 4)
+    sigs = T.simhash_batch(texts, hash_fn=hash_fn)
+    n = len(texts)
+    sig_i64 = sigs.view(np.int64)
+    blocks = np.arange(4, dtype=np.uint64)
+    keys = ((sigs[:, None] >> (np.uint64(16) * blocks[None, :]))
+            & np.uint64(0xFFFF)).astype(np.int64)
     return pa.table({
-        "block": pa.array(block_l, pa.int64()),
-        "key": pa.array(key_l, pa.int64()),
-        "doc_id": pa.array(id_l, pa.int64()),
-        "sig": pa.array(sig_l, pa.int64()),
+        "block": pa.array(np.tile(np.arange(4, dtype=np.int64), n)),
+        "key": pa.array(keys.ravel()),
+        "doc_id": pa.array(np.repeat(ids.astype(np.int64), 4)),
+        "sig": pa.array(np.repeat(sig_i64, 4)),
     })
 
 

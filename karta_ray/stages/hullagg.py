@@ -43,9 +43,9 @@ def convex_hull(points_ds, *, x_col="lon", y_col="lat",
 
     part = points_ds.map_batches(partial, batch_format="pyarrow",
                                  zero_copy_batch=True)
-    merged = part.repartition(1).map_batches(
-        lambda b: b, batch_format="pyarrow")
-    all_pts = merged.to_pandas()
+    # partial hulls are tiny (tens of vertices per block) — collect
+    # directly, no repartition stage needed
+    all_pts = part.to_pandas()
     coords = np.column_stack([all_pts["x"].to_numpy(),
                               all_pts["y"].to_numpy()])
     hv = _hull_vertices(np.unique(coords, axis=0), geographical)

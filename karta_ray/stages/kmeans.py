@@ -29,13 +29,22 @@ def _assign(emb: np.ndarray, cent: np.ndarray) -> np.ndarray:
     return np.argmin(d2, axis=1)
 
 
+def kmeans_seeds(emb_ds, k: int, *, emb_col: str = "embedding",
+                 id_col: str = "vec_id") -> np.ndarray:
+    """Deterministic seed centroids: the k vectors with the smallest
+    ids (sort -> limit, a distributed top-k, not a full collect)."""
+    from ..functions.arrays import list_column_to_matrix
+
+    seeds = emb_ds.sort(id_col).limit(k).take_batch(k, batch_format="pyarrow")
+    return list_column_to_matrix(seeds[emb_col])
+
+
 def kmeans_fit(emb_ds, k: int, *, iters: int = 10,
                emb_col: str = "embedding", id_col: str = "vec_id"):
     """Lloyd's iterations over the Dataset; returns (k, d) centroids."""
     from ..functions.arrays import list_column_to_matrix
 
-    seeds = emb_ds.sort(id_col).limit(k).take_batch(k, batch_format="pyarrow")
-    cent = list_column_to_matrix(seeds[emb_col])
+    cent = kmeans_seeds(emb_ds, k, emb_col=emb_col, id_col=id_col)
     for _ in range(iters):
         ref = ray.put(cent)
 

@@ -111,9 +111,9 @@ class TestDedupStages:
         got = simhash_pairs(ds, max_hamming=3).to_pandas()
         got_pairs = set(zip(got.doc_a, got.doc_b))
         assert (12, 32) in got_pairs  # identical copy -> hamming 0
-        # verify every reported pair truly has hamming <= 3
-        sigs = [T.simhash64(T.hash_bytes_u64([w.encode() for w in d.split()]))
-                for d in docs]
+        # verify every reported pair truly has hamming <= 3 (md5-parity
+        # token hashes, the stage default)
+        sigs = T.simhash_batch(list(docs))
         for a, b in got_pairs:
             h = T.hamming64(np.array([sigs[a]]), np.array([sigs[b]]))[0]
             assert h <= 3

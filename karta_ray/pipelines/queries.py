@@ -465,7 +465,10 @@ def q_salted_cell_count(sf_dir: str):
     ds = points_ds(sf_dir)
     ds = ds.map_batches(assign_cells, batch_format="pyarrow",
                         fn_kwargs={"zoom": 4, "with_xyz": False})
-    return salted_count(ds, "cell_id", salts=8)
+    # zoom-4 cell ids are bounded (<= 4^4 keys) — the light tree-combine
+    # detection path is safe here; unbounded keys (url, user) use the
+    # default distributed-groupby detection
+    return salted_count(ds, "cell_id", salts=8, bounded_cardinality=True)
 
 
 GRID_T = (-180.0, -80.0, 1.0, 1.0, 0.0, 0.0)

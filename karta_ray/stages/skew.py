@@ -17,32 +17,66 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def detect_hot_keys(ds, key_col: str, *, sample_fraction: float = 0.05,
-                    hot_fraction: float = 0.01, min_rows: int = 1000):
+                    hot_fraction: float = 0.01, min_rows: int = 1000,
+                    bounded_cardinality: bool = False):
     """Sampled pre-pass: keys whose sampled share exceeds hot_fraction.
 
-    Returns (hot_keys ndarray, sampled_counts dict) — a small driver-side
-    result (top keys only), not a materialization of the dataset.
+    Returns (hot_keys ndarray, sampled_counts dict).  Only the keys
+    ABOVE the threshold reach the driver — at most 1/hot_fraction keys
+    can each hold >= hot_fraction of the sample, so the transfer is
+    bounded regardless of key cardinality.  The per-key counting runs
+    as a distributed groupby shuffle with the threshold filter applied
+    in the cluster.
+
+    ``bounded_cardinality=True`` is a fast path for keys the CALLER
+    knows are few (e.g. zoom-z tile cells, <= 4^z): it uses the
+    lighter partial+tree combine and returns every sampled key's count
+    — do NOT use it for url/user-grade keys.
     """
     sample = ds.random_sample(sample_fraction, seed=42)
 
-    def count(batch: pa.Table) -> pa.Table:
-        t = batch.select([key_col])
-        g = t.group_by([key_col]).aggregate([([], "count_all")])
-        return g.rename_columns([key_col, "n"])
+    if bounded_cardinality:
+        def count(batch: pa.Table) -> pa.Table:
+            t = batch.select([key_col])
+            g = t.group_by([key_col]).aggregate([([], "count_all")])
+            return g.rename_columns([key_col, "n"])
 
-    part = sample.map_batches(count, batch_format="pyarrow")
-    from .agg import tree_sum
+        part = sample.map_batches(count, batch_format="pyarrow")
+        from .agg import tree_sum
 
-    counts = tree_sum(part, [key_col], ["n"]).to_pandas()
-    total = counts["n"].sum()
+        counts = tree_sum(part, [key_col], ["n"]).to_pandas()
+        total = counts["n"].sum()
+        if total == 0:
+            return np.empty(0, dtype=np.int64), {}
+        hot = counts[(counts["n"] >= hot_fraction * total)
+                     & (counts["n"] >= min_rows * sample_fraction)]
+        return (hot[key_col].to_numpy(),
+                dict(zip(counts[key_col], counts["n"])))
+
+    # unbounded keys: distributed hash/sort groupby (handles any key
+    # cardinality), then a distributed threshold filter; only the
+    # (bounded) survivors are collected
+    counts = sample.groupby(key_col).count().materialize()
+    total = counts.sum("count()") or 0
     if total == 0:
         return np.empty(0, dtype=np.int64), {}
-    hot = counts[(counts["n"] >= hot_fraction * total)
-                 & (counts["n"] >= min_rows * sample_fraction)]
-    return hot[key_col].to_numpy(), dict(zip(counts[key_col], counts["n"]))
+    thresh = max(hot_fraction * total, min_rows * sample_fraction)
+
+    def over_threshold(batch: pa.Table) -> pa.Table:
+        n = batch.column("count()").to_numpy()
+        keep = np.nonzero(n >= thresh)[0]
+        t = batch.take(pa.array(keep, pa.int64()))
+        return pa.table({key_col: t.column(key_col),
+                         "n": pc.cast(t.column("count()"), pa.int64())})
+
+    survivors = counts.map_batches(over_threshold,
+                                   batch_format="pyarrow").to_pandas()
+    return (survivors[key_col].to_numpy(),
+            dict(zip(survivors[key_col], survivors["n"])))
 
 
 def add_salt(ds, key_col: str, hot_keys, *, salts: int = 16,
@@ -71,12 +105,14 @@ def add_salt(ds, key_col: str, hot_keys, *, salts: int = 16,
 
 
 def salted_count(ds, key_col: str, *, salts: int = 16,
-                 sample_fraction: float = 0.05):
+                 sample_fraction: float = 0.05,
+                 bounded_cardinality: bool = False):
     """Per-key row counts with hot keys counted via salted sub-keys then
     re-combined (the canonical salted-shuffle shape)."""
     from .agg import tree_sum
 
-    hot, _ = detect_hot_keys(ds, key_col, sample_fraction=sample_fraction)
+    hot, _ = detect_hot_keys(ds, key_col, sample_fraction=sample_fraction,
+                             bounded_cardinality=bounded_cardinality)
     salted = add_salt(ds, key_col, hot, salts=salts)
 
     def partial(batch: pa.Table) -> pa.Table:

@@ -30,6 +30,38 @@ class TestSaltedGroupby:
             want[k] = want.get(k, 0) + 1
         assert got.to_dict() == want
 
+    def test_detect_hot_keys_high_cardinality_bounded_transfer(self):
+        import ray.data
+
+        from karta_ray.stages.skew import detect_hot_keys
+
+        rng = np.random.RandomState(3)
+        # url-grade cardinality: ~20k distinct keys, one key hot
+        uniq = np.arange(1_000_000, 1_020_000, dtype=np.int64)
+        keys = np.concatenate([uniq, np.full(5000, 42, dtype=np.int64)])
+        rng.shuffle(keys)
+        ds = ray.data.from_arrow(pa.table({"url_id": pa.array(keys)}))
+
+        hot, counts = detect_hot_keys(ds, "url_id", sample_fraction=0.3,
+                                      hot_fraction=0.05, min_rows=10)
+        assert hot.tolist() == [42]
+        # the driver-side result is the SURVIVORS only, not every
+        # distinct sampled key (the r02 driver-OOM shape)
+        assert len(counts) <= 1 + int(1 / 0.05)
+
+    def test_detect_hot_keys_bounded_fast_path(self):
+        import ray.data
+
+        from karta_ray.stages.skew import detect_hot_keys
+
+        keys = np.array([7] * 900 + list(range(100)), dtype=np.int64)
+        ds = ray.data.from_arrow(pa.table({"cell_id": pa.array(keys)}))
+        hot, counts = detect_hot_keys(ds, "cell_id", sample_fraction=0.5,
+                                      hot_fraction=0.1, min_rows=10,
+                                      bounded_cardinality=True)
+        assert hot.tolist() == [7]
+        assert len(counts) >= 30  # fast path returns all sampled keys
+
     def test_salt_column_splits_hot_keys(self):
         import ray.data
 

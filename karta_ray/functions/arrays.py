@@ -74,6 +74,49 @@ def binary_column_to_matrix(col, dtype, d: int) -> np.ndarray:
     return flat.view(dtype).reshape(n, d)
 
 
+def member_bboxes(col):
+    """Per-geometry planar bboxes of a list<fixed_size_list<f64, 2>>
+    vertex column in ONE vectorized pass: (xmin, ymin, xmax, ymax)
+    float64 arrays via segmented min/max (``np.minimum.reduceat`` over
+    the Arrow list offsets) — no per-member Python loop.  Empty
+    geometries get NaN bboxes (they can never pass an overlap gate)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        e = np.empty(0, dtype=np.float64)
+        return e, e, e, e
+    offsets = np.asarray(arr.offsets, dtype=np.int64)
+    inner = arr.flatten()
+    if pa.types.is_fixed_size_list(inner.type):
+        flat = np.asarray(inner.values.slice(inner.offset * 2,
+                                             len(inner) * 2))
+    else:
+        flat = np.asarray(inner.flatten())
+    flat = flat.astype(np.float64, copy=False).reshape(-1, 2)
+    rel = offsets - offsets[0]
+    starts = rel[:-1]
+    lens = np.diff(rel)
+    nonempty = lens > 0
+    xmin = np.full(n, np.nan)
+    ymin = np.full(n, np.nan)
+    xmax = np.full(n, np.nan)
+    ymax = np.full(n, np.nan)
+    if nonempty.all():
+        xmin = np.minimum.reduceat(flat[:, 0], starts)
+        ymin = np.minimum.reduceat(flat[:, 1], starts)
+        xmax = np.maximum.reduceat(flat[:, 0], starts)
+        ymax = np.maximum.reduceat(flat[:, 1], starts)
+    elif nonempty.any():
+        # reduceat misbehaves on empty segments (returns the element at
+        # the boundary); reduce only the nonempty ones
+        s = starts[nonempty]
+        xmin[nonempty] = np.minimum.reduceat(flat[:, 0], s)
+        ymin[nonempty] = np.minimum.reduceat(flat[:, 1], s)
+        xmax[nonempty] = np.maximum.reduceat(flat[:, 0], s)
+        ymax[nonempty] = np.maximum.reduceat(flat[:, 1], s)
+    return xmin, ymin, xmax, ymax
+
+
 def nested_vertices_to_arrays(col) -> list:
     """list<fixed_size_list<double, 2>> column -> list of (n_i, 2)
     float64 views over one flat decode (per-geometry vertex arrays)."""

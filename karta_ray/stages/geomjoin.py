@@ -95,23 +95,32 @@ class _GeomJoin:
     def __call__(self, batch: pa.Table) -> pa.Table:
         members = _member_arrays(batch)
         kinds = batch.column("kind").to_pylist()
+        if self.tbbox is not None and not self.geographical:
+            # vectorized planar gate: every member bbox in one segmented
+            # min/max pass over the Arrow list offsets, then the exact
+            # predicate loop runs only over gate survivors
+            from ..functions.arrays import member_bboxes
+
+            xmin, ymin, xmax, ymax = member_bboxes(
+                batch.column("vertices"))
+            cand = np.nonzero(P.bboxes_overlap_vec(
+                self.tbbox, xmin, ymin, xmax, ymax))[0]
+        else:
+            cand = range(len(members))
         keep = []
-        for i, m in enumerate(members):
-            if self.tbbox is not None:
-                if self.geographical:
-                    # apex-aware member bbox (great-circle arcs can reach
-                    # beyond vertex latitudes); skip the gate entirely for
-                    # dateline-crossing members
-                    mb = P.bbox_geographical(m, ring=(kinds[i] == "polygon"))
-                    if mb[0] <= mb[2] and not P.bboxes_overlap(self.tbbox, mb):
-                        continue
-                else:
-                    mb = P.bbox_planar(m)
-                    if not P.bboxes_overlap(self.tbbox, mb):
-                        continue
+        for i in cand:
+            m = members[i]
+            if self.tbbox is not None and self.geographical:
+                # apex-aware member bbox (great-circle arcs can reach
+                # beyond vertex latitudes); skip the gate entirely for
+                # dateline-crossing members
+                mb = P.bbox_geographical(m, ring=(kinds[i] == "polygon"))
+                if mb[0] <= mb[2] and not P.bboxes_overlap(self.tbbox, mb):
+                    continue
             if self._exact(m, kinds[i]):
                 keep.append(i)
-        return batch.take(pa.array(keep, pa.int64()))
+        return batch.take(pa.array(np.asarray(keep, dtype=np.int64),
+                                   pa.int64()))
 
 
 # per-worker cache of constructed stages (same pattern as

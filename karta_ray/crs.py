@@ -170,17 +170,131 @@ class WebMercatorCRS(CRS):
         return other.project(lon, lat)
 
 
+class _EllipsoidalProjectedCRS(CRS):
+    """Base for closed-form projected CRSs on the WGS84 ellipsoid
+    (reference ``ProjectedCRS``, karta/crs.py:248-298): planar geometry
+    predicates/distances in projected meters, ``forward``/``inverse``
+    geodesics solved on the underlying ellipsoid (Karney), azimuths
+    normalized to [-180, 180)."""
+
+    kind = "cartesian"
+
+    def __init__(self):
+        self.a = karney.WGS84_A
+        self.b = karney.WGS84_B
+
+    def _fwd(self, lon, lat):
+        raise NotImplementedError
+
+    def _inv(self, x, y):
+        raise NotImplementedError
+
+    def project(self, x, y, inverse: bool = False):
+        return self._inv(x, y) if inverse else self._fwd(x, y)
+
+    def forward(self, x, y, az, dist):
+        x2, y2, baz = karney.forward_vec(self.a, self.b, x, y, az, dist)
+        return x2, y2, (np.asarray(baz) + 180.0) % 360.0 - 180.0
+
+    def inverse(self, x1, y1, x2, y2):
+        az, baz, dist = karney.inverse_vec(self.a, self.b, x1, y1, x2, y2)
+        return ((np.asarray(az) + 180.0) % 360.0 - 180.0,
+                (np.asarray(baz) + 180.0) % 360.0 - 180.0, dist)
+
+    def transform(self, other, x, y):
+        lon, lat = self.project(x, y, inverse=True)
+        return other.project(lon, lat)
+
+
+class PolarStereographicCRS(_EllipsoidalProjectedCRS):
+    """Polar stereographic on WGS84 — covers UPS north/south
+    (lat_ts=+/-90, k0=0.994, false easting/northing 2,000,000 m) and the
+    NSIDC sea-ice grids (lat_ts=+/-70, k0=1), matching the reference's
+    proj4 definitions (karta/crs.py:358-377).  Projection math:
+    kernels/projections.py (Snyder pp. 160-162); forward verified
+    against the published EPSG Guidance Note 7-2 UPS worked example."""
+
+    def __init__(self, name: str, *, lat_ts: float, lon_0: float,
+                 k0: float = 1.0, fe: float = 0.0, fn: float = 0.0,
+                 south: bool = False):
+        super().__init__()
+        self.name = name
+        self._kw = dict(lat_ts=lat_ts, lon_0=lon_0, k0=k0, fe=fe, fn=fn,
+                        south=south, a=self.a, b=self.b)
+
+    def _fwd(self, lon, lat):
+        from .kernels import projections as PJ
+
+        return PJ.polar_stereographic_fwd(lon, lat, **self._kw)
+
+    def _inv(self, x, y):
+        from .kernels import projections as PJ
+
+        return PJ.polar_stereographic_inv(x, y, **self._kw)
+
+
+class LambertEqualAreaCRS(_EllipsoidalProjectedCRS):
+    """Equatorial-aspect ellipsoidal Lambert azimuthal equal-area
+    (lat_0=0, lon_0=0) — the reference's ``LambertEqualArea``
+    (karta/crs.py:379-381); Snyder pp. 187-190."""
+
+    name = "lambert_equal_area"
+
+    def _fwd(self, lon, lat):
+        from .kernels import projections as PJ
+
+        return PJ.laea_fwd(lon, lat)
+
+    def _inv(self, x, y):
+        from .kernels import projections as PJ
+
+        return PJ.laea_inv(x, y)
+
+
+class GallPetersCRS(_EllipsoidalProjectedCRS):
+    """Gall-Peters cylindrical equal-area (lat_ts=45) — the reference's
+    ``GallPetersEqualArea`` (karta/crs.py:383-385); Snyder pp. 76-85."""
+
+    name = "gall_peters"
+
+    def _fwd(self, lon, lat):
+        from .kernels import projections as PJ
+
+        return PJ.cea_fwd(lon, lat, lat_ts=45.0)
+
+    def _inv(self, x, y):
+        from .kernels import projections as PJ
+
+        return PJ.cea_inv(x, y, lat_ts=45.0)
+
+
 Cartesian = CartesianCRS()
 SphericalEarth = SphericalCRS()
 SphericalEarth.name = "spherical"
 LonLatWGS84 = EllipsoidalCRS(karney.WGS84_A, karney.WGS84_B, name="lonlat_wgs84")
 WebMercator = WebMercatorCRS()
+UPSNorth = PolarStereographicCRS("ups_north", lat_ts=90.0, lon_0=0.0,
+                                 k0=0.994, fe=2_000_000.0, fn=2_000_000.0)
+UPSSouth = PolarStereographicCRS("ups_south", lat_ts=-90.0, lon_0=0.0,
+                                 k0=0.994, fe=2_000_000.0, fn=2_000_000.0,
+                                 south=True)
+NSIDCNorth = PolarStereographicCRS("nsidc_north", lat_ts=70.0, lon_0=-45.0)
+NSIDCSouth = PolarStereographicCRS("nsidc_south", lat_ts=-70.0, lon_0=0.0,
+                                   south=True)
+LambertEqualArea = LambertEqualAreaCRS()
+GallPetersEqualArea = GallPetersCRS()
 
 _REGISTRY = {
     "cartesian": Cartesian,
     "spherical": SphericalEarth,
     "lonlat_wgs84": LonLatWGS84,
     "webmercator": WebMercator,
+    "ups_north": UPSNorth,
+    "ups_south": UPSSouth,
+    "nsidc_north": NSIDCNorth,
+    "nsidc_south": NSIDCSouth,
+    "lambert_equal_area": LambertEqualArea,
+    "gall_peters": GallPetersEqualArea,
 }
 
 

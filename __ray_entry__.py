@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": Q.q_ann_ivf,
         "embed_neardup": Q.q_embed_neardup,
         "doc_quality": Q.q_doc_quality,
+        "media_features": Q.q_media_features,
         "doc_fingerprint": Q.q_doc_fingerprint,
         "lang_id": Q.q_lang_id,
         "grid_sample": Q.q_grid_sample,

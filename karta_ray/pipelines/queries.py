@@ -779,6 +779,100 @@ def q_window_agg(sf_dir: str):
                     ["event_type", "window_us"], ["n", "sum_cents"])
 
 
+def q_media_features(sf_dir: str):
+    """Multimodal decode as a two-stage Ray pipeline over real
+    containers: per-doc deterministic payloads are ENCODED (binary PPM
+    / RIFF PCM16 WAV — stages/multimodal.py encoders), shipped as
+    opaque binary columns, then DECODED by the real parsers and reduced
+    to integer-exact stats.  The pixel/sample generation is plain
+    modular arithmetic, so DuckDB reproduces every decoded value — the
+    oracle certifies the full encode -> bytes -> decode round trip.
+    The float feature extractor (actor-pool stage) keeps its own
+    equivalence tests in test_io_multimodal."""
+    import ray.data
+
+    from ..stages.multimodal import encode_ppm, encode_wav, media_decode_stats
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"],
+                                 override_num_blocks=8)
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        payloads = []
+        types = []
+        for d in ids:
+            d = int(d)
+            if d % 2 == 0:  # image: w x h x 3, pixel = arithmetic in d,r,c
+                w = 16 + (d % 4) * 4
+                h = 12 + (d % 3) * 4
+                r = np.arange(h, dtype=np.int64)[:, None, None]
+                c = np.arange(w, dtype=np.int64)[None, :, None]
+                ch = np.arange(3, dtype=np.int64)[None, None, :]
+                img = ((d * 31 + r * 7 + c * 3 + ch * 11) % 256).astype(
+                    np.uint8)
+                payloads.append(encode_ppm(img))
+                types.append("image")
+            else:  # audio: PCM16, sample = arithmetic in d,t
+                n = 400 + (d % 5) * 40
+                t = np.arange(n, dtype=np.int64)
+                wave = ((d * 13 + t * 7) % 2001 - 1000).astype(np.int16)
+                payloads.append(encode_wav(wave, 8000))
+                types.append("audio")
+        return pa.table({
+            "media_id": pa.array(ids),
+            "media_type": pa.array(types, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    media = docs.map_batches(synth, batch_format="pyarrow")
+    return media.map_batches(media_decode_stats, batch_format="pyarrow",
+                             batch_size=64, zero_copy_batch=True)
+
+
+MEDIA_FEATURES_SQL = """
+WITH img AS (
+  SELECT doc_id,
+         16 + (doc_id % 4) * 4 AS w,
+         12 + (doc_id % 3) * 4 AS h
+  FROM documents WHERE doc_id % 2 = 0),
+ipx AS (
+  SELECT i.doc_id, i.w, i.h,
+         (i.doc_id * 31 + r.r * 7 + c.c * 3 + ch.ch * 11) % 256 AS v
+  FROM img i
+  CROSS JOIN (SELECT unnest(range(0, 24)) AS r) r
+  CROSS JOIN (SELECT unnest(range(0, 32)) AS c) c
+  CROSS JOIN (SELECT unnest(range(0, 3)) AS ch) ch
+  WHERE r.r < i.h AND c.c < i.w),
+istat AS (
+  SELECT doc_id AS media_id, 'image' AS media_type,
+         CAST(MIN(w) AS BIGINT) AS width, CAST(MIN(h) AS BIGINT) AS height,
+         COUNT(*) AS n_values, CAST(SUM(v) AS BIGINT) AS sum_values,
+         CAST(MIN(v) AS BIGINT) AS min_value,
+         CAST(MAX(v) AS BIGINT) AS max_value
+  FROM ipx GROUP BY doc_id),
+aud AS (
+  SELECT doc_id, 400 + (doc_id % 5) * 40 AS n
+  FROM documents WHERE doc_id % 2 = 1),
+apx AS (
+  SELECT a.doc_id, (a.doc_id * 13 + t.t * 7) % 2001 - 1000 AS v
+  FROM aud a CROSS JOIN (SELECT unnest(range(0, 560)) AS t) t
+  WHERE t.t < a.n),
+astat AS (
+  SELECT doc_id AS media_id, 'audio' AS media_type,
+         CAST(-1 AS BIGINT) AS width, CAST(-1 AS BIGINT) AS height,
+         COUNT(*) AS n_values, CAST(SUM(v) AS BIGINT) AS sum_values,
+         CAST(MIN(v) AS BIGINT) AS min_value,
+         CAST(MAX(v) AS BIGINT) AS max_value
+  FROM apx GROUP BY doc_id),
+allstat AS (SELECT * FROM istat UNION ALL SELECT * FROM astat)
+SELECT media_id, media_type, width, height, n_values, sum_values,
+       min_value, max_value,
+       CAST(sum_values AS DOUBLE) / CAST(n_values AS DOUBLE) AS mean_value
+FROM allstat
+"""
+
+
 SESSION_GAP_US = 1800 * 1_000_000
 
 
@@ -958,6 +1052,7 @@ FROM documents
         "doc_fingerprint": """
 SELECT doc_id, md5(text) AS fp FROM documents
 """,
+        "media_features": MEDIA_FEATURES_SQL,
         "props_extract": """
 SELECT event_type,
        CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

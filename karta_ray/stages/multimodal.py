@@ -224,6 +224,49 @@ def extract_media_features(media_ds, *, dim: int = 32, batch_size: int = 64,
                                 batch_size=batch_size, zero_copy_batch=True)
 
 
+def media_decode_stats(batch: pa.Table) -> pa.Table:
+    """map_batches stage: decode each payload with the REAL decoders and
+    emit integer-exact stats of the decoded array — the oracle-checkable
+    witness that encode -> bytes -> decode reproduces every value.
+    -1 sentinels where a field does not apply to the media type."""
+    ids = batch.column("media_id").to_numpy()
+    types = batch.column("media_type").to_pylist()
+    payloads = batch.column("payload").to_pylist()
+    n = len(ids)
+    width = np.full(n, -1, dtype=np.int64)
+    height = np.full(n, -1, dtype=np.int64)
+    nval = np.empty(n, dtype=np.int64)
+    vsum = np.empty(n, dtype=np.int64)
+    vmin = np.empty(n, dtype=np.int64)
+    vmax = np.empty(n, dtype=np.int64)
+    for i, (p, t) in enumerate(zip(payloads, types)):
+        if t == "image":
+            arr = decode_ppm(p)
+            height[i], width[i] = arr.shape[:2]
+            flat = arr.astype(np.int64).ravel()
+        elif t == "audio":
+            samples, _rate = decode_wav(p)
+            flat = samples.astype(np.int64).ravel()
+        else:
+            raise ValueError(f"media_type {t} has no real decoder")
+        nval[i] = len(flat)
+        vsum[i] = int(flat.sum())
+        vmin[i] = int(flat.min())
+        vmax[i] = int(flat.max())
+    return pa.table({
+        "media_id": pa.array(ids.astype(np.int64)),
+        "media_type": pa.array(types, pa.string()),
+        "width": pa.array(width),
+        "height": pa.array(height),
+        "n_values": pa.array(nval),
+        "sum_values": pa.array(vsum),
+        "min_value": pa.array(vmin),
+        "max_value": pa.array(vmax),
+        "mean_value": pa.array(vsum.astype(np.float64)
+                               / nval.astype(np.float64)),
+    })
+
+
 def synth_media_table(n: int, seed: int = 0) -> pa.Table:
     """Deterministic media rows with REAL payloads: PPM images and
     PCM16 WAV clips (video rows carry opaque bytes for the stub)."""

@@ -1,2 +1,2 @@
-"""Sources/sinks: ESRI ASCII grids, GeoJSON fixtures, partitioned
-parquet writers."""
+"""Sources/sinks: ESRI ASCII grids, GeoTIFF (pure-Python codec),
+shapefiles, GPX, GeoJSON fixtures, partitioned parquet writers."""

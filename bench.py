@@ -8,6 +8,13 @@ pages table plus every queries() pipeline over $GRAFT_SF_DIR (default
 --scaling: run the headline pipeline in two fresh processes
 (num_cpus=8 and num_cpus=32) on the same input and report docs/sec at
 both plus scaling efficiency (the sandbox stand-in for N vs 4N nodes).
+
+--ab [rev]: interleaved A/B of the working tree vs a git rev (default:
+the last recorded round commit) — 5 fresh-process headline runs per
+side, alternating A B A B ..., reporting median + min/max spread per
+side and the ratio of medians. This is the regression check that this
+host's +-40% run-to-run noise cannot fake: both sides see the same
+noise distribution because runs interleave in time.
 """
 
 from __future__ import annotations
@@ -152,6 +159,82 @@ def scaling_main():
     }))
 
 
+_AB_CHILD = r'''
+import json, sys, time
+repo, cpus, pages_dir, n_docs = sys.argv[1], int(sys.argv[2]), sys.argv[3], int(sys.argv[4])
+sys.path.insert(0, repo)
+import ray
+ray.init(address="local", num_cpus=cpus, include_dashboard=False)
+from karta_ray import synth
+from karta_ray.pipelines.flagship import flagship_pipeline, flagship_aggregate
+def touch(batch):
+    from karta_ray.kernels import predicates, tiles
+    from karta_ray.stages import extract, join
+    return batch
+(ray.data.range(cpus * 16, override_num_blocks=cpus * 16)
+    .map_batches(touch, batch_size=1).materialize())
+t0 = time.perf_counter()
+ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
+joined = flagship_pipeline(ds, zoom=7, polyset=synth.admin_polygons(),
+                           concurrency=(2, cpus))
+rows = 0
+for b in flagship_aggregate(joined).iter_batches(batch_format="pyarrow"):
+    rows += len(b)
+sec = time.perf_counter() - t0
+ray.shutdown()
+print(json.dumps({"sec": sec, "rows": rows,
+                  "docs_per_sec": n_docs / sec}))
+'''
+
+
+def ab_main(rev: str, reps: int = 5):
+    """Interleaved A/B regression check: working tree vs ``rev``."""
+    import statistics
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    pages_dir = ensure_pages(N_PAGES)
+    ray.shutdown()
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    wt = f"/tmp/karta_ray_ab/{rev}"
+    if not os.path.isdir(wt):
+        os.makedirs(os.path.dirname(wt), exist_ok=True)
+        subprocess.run(["git", "-C", here, "worktree", "add", "--detach",
+                        "--force", wt, rev], check=True,
+                       capture_output=True, text=True)
+
+    times = {"a": [], "b": []}
+    rows = {}
+    for _ in range(reps):
+        for side, repo in (("a", here), ("b", wt)):
+            p = subprocess.run(
+                [sys.executable, "-c", _AB_CHILD, repo, str(NUM_CPUS),
+                 pages_dir, str(N_PAGES)],
+                capture_output=True, text=True, check=True)
+            line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+            res = json.loads(line)
+            times[side].append(res["sec"])
+            rows[side] = res["rows"]
+    med_a = statistics.median(times["a"])
+    med_b = statistics.median(times["b"])
+    print(json.dumps({
+        "metric": f"interleaved A/B headline (working tree vs {rev})",
+        "value": round(med_a / med_b, 4),
+        "unit": "ratio of medians (A/B; <1 = working tree faster)",
+        "docs": N_PAGES,
+        "reps_per_side": reps,
+        "a_median_sec": round(med_a, 3),
+        "a_spread_sec": [round(min(times["a"]), 3),
+                         round(max(times["a"]), 3)],
+        "b_median_sec": round(med_b, 3),
+        "b_spread_sec": [round(min(times["b"]), 3),
+                         round(max(times["b"]), 3)],
+        "a_rows": rows["a"], "b_rows": rows["b"],
+    }))
+
+
 def micro_main():
     """Single-core kernel microbenchmarks (no Ray): the closest
     available analogue to the reference's benchmarks/ harnesses, which
@@ -234,5 +317,9 @@ if __name__ == "__main__":
         scaling_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--micro":
         micro_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ab":
+        # default comparand: the last judged round's snapshot commit
+        ab_main(sys.argv[2] if len(sys.argv) > 2 else "a126cbe",
+                reps=int(sys.argv[3]) if len(sys.argv) > 3 else 5)
     else:
         main()

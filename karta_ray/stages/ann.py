@@ -160,22 +160,55 @@ def ann_ivf_topk(emb_ds, query_ids, query_mat, k: int = 10, *,
             self.probe = data["probe"]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            # Queries are grouped by their probed label SET, so the
+            # row-membership mask is built once per distinct set (not
+            # once per query), and the cosine scores come from ONE
+            # matmul of all queries vs the batch — per-batch cost is
+            # O(nq*nb + distinct_sets*nb), flat in query count for
+            # query workloads that share probe sets.
             lab = batch.column(label_col).to_numpy()
-            outs = []
-            for qi in range(len(self.qids)):
-                mask = np.isin(lab, list(self.probe[qi]))
+            vid = batch.column("vec_id").to_numpy()
+            emb = _normalize(_to_matrix(batch.column("embedding")))
+            groups: dict = {}
+            for qi, ls in enumerate(self.probe):
+                groups.setdefault(frozenset(ls), []).append(qi)
+            sims = None
+            out_q, out_v, out_s = [], [], []
+            for ls, qis in groups.items():
+                mask = np.isin(lab, np.fromiter(ls, dtype=np.int64,
+                                                count=len(ls)))
                 if not mask.any():
                     continue
-                sub = batch.filter(pa.array(mask))
-                single = _TopkScorer({"qids": self.qids[qi:qi + 1],
-                                      "qmat": self.qmat[qi:qi + 1]},
-                                     self.k, self.exclude_self)
-                outs.append(single(sub))
-            if not outs:
+                if sims is None:
+                    sims = self.qmat @ emb.T
+                idx = np.nonzero(mask)[0]
+                svid = vid[idx]
+                for qi in qis:
+                    s = sims[qi, idx]
+                    if self.exclude_self:
+                        keep = np.nonzero(svid != self.qids[qi])[0]
+                    else:
+                        keep = np.arange(len(svid))
+                    if len(keep) == 0:
+                        continue
+                    # same selection rule as _TopkScorer (stable sort in
+                    # batch order) so results are bit-identical to the
+                    # per-query formulation
+                    top = keep[np.argsort(-s[keep],
+                                          kind="stable")[:self.k]]
+                    out_q.append(np.full(len(top), self.qids[qi],
+                                         dtype=np.int64))
+                    out_v.append(svid[top].astype(np.int64))
+                    out_s.append(s[top])
+            if not out_q:
                 return pa.table({"query_id": pa.array([], pa.int64()),
                                  "vec_id": pa.array([], pa.int64()),
                                  "sim": pa.array([], pa.float64())})
-            return pa.concat_tables(outs)
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "sim": pa.array(np.concatenate(out_s)),
+            })
 
     cache: dict = {}
 

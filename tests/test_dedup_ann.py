@@ -385,3 +385,51 @@ class TestMinhashGroupbyDedup:
         ka = set(zip(a.doc_a, a.doc_b))
         kb = set(zip(b.doc_a, b.doc_b))
         assert ka == kb and len(ka) > 0
+
+
+class TestIVFGroupedScorer:
+    """The IVF scorer batches queries by probed label set (one matmul +
+    one membership mask per distinct set per batch); these pin down that
+    the grouping is invisible in the results."""
+
+    def _mk(self, n=300, d=8, seed=11):
+        import ray.data
+
+        from karta_ray.functions.arrays import matrix_to_list_column
+
+        rng = np.random.RandomState(seed)
+        mat = rng.randn(n, d)
+        labels = rng.randint(0, 5, size=n)
+        tbl = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                        "embedding": matrix_to_list_column(mat),
+                        "label": pa.array(labels.astype(np.int32))})
+        return ray.data.from_arrow(tbl).repartition(4), mat
+
+    def test_exact_mode_matches_brute_force_many_queries(self):
+        from karta_ray.stages.ann import ann_ivf_topk, ann_topk
+
+        ds, mat = self._mk()
+        nq = 25  # all queries share ONE probe set in exact mode
+        qids = np.arange(nq, dtype=np.int64)
+        exact = ann_topk(ds, qids, mat[:nq], k=7).to_pandas()
+        ivf = ann_ivf_topk(ds, qids, mat[:nq], k=7,
+                           nprobe=None).to_pandas()
+        cols = ["query_id", "vec_id", "rank"]
+        pd_exact = exact.sort_values(cols).reset_index(drop=True)
+        pd_ivf = ivf.sort_values(cols).reset_index(drop=True)
+        assert pd_exact[cols].equals(pd_ivf[cols])
+        assert np.allclose(pd_exact.sim, pd_ivf.sim)
+
+    def test_shared_probe_sets_nprobe1(self):
+        # many queries collapse onto few distinct single-label probe
+        # sets; every returned neighbor must carry the probed label
+        from karta_ray.stages.ann import ann_ivf_topk
+
+        ds, mat = self._mk()
+        nq = 20
+        qids = np.arange(nq, dtype=np.int64)
+        got = ann_ivf_topk(ds, qids, mat[:nq], k=5, nprobe=1).to_pandas()
+        assert set(got.query_id) <= set(range(nq))
+        assert (got.groupby("query_id").size() <= 5).all()
+        # self-exclusion preserved through the grouped path
+        assert not ((got.query_id == got.vec_id).any())

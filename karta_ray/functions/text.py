@@ -241,6 +241,29 @@ def lang_id(text: str) -> str:
     return best[0]
 
 
+def lang_id_batch(text_col) -> "pa.Array":
+    """Vectorized :func:`lang_id` over an Arrow string column — every
+    marker count is one Arrow C++ ``count_substring`` kernel call (no
+    per-row Python), and the argmax/tie rule matches the scalar
+    function exactly: strictly-greater wins, ties and all-zero scores
+    fall back to the earlier lang / "und"."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    padded = pc.binary_join_element_wise(
+        " ", pc.utf8_lower(text_col), " ", "")
+    n = len(padded)
+    scores = np.zeros((n, len(_LANGS)), dtype=np.int64)
+    for li, lang in enumerate(_LANGS):
+        for m in _LANG_MARKERS[lang]:
+            scores[:, li] += pc.count_substring(
+                padded, m).to_numpy(zero_copy_only=False)
+    best = np.argmax(scores, axis=1)  # first max wins = sorted-lang tie
+    out = np.asarray(_LANGS, dtype=object)[best]
+    out[scores.max(axis=1) == 0] = "und"
+    return pa.array(out, pa.string())
+
+
 # ---------------------------------------------------------------------------
 # Quality metrics (integer-exact, SQL-mirrorable)
 # ---------------------------------------------------------------------------

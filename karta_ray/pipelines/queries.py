@@ -664,7 +664,7 @@ def q_lang_id(sf_dir: str):
     (accuracy asserted in tests against the lang column)."""
     import ray.data
 
-    from ..functions.text import lang_id
+    from ..functions.text import lang_id_batch
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"],
@@ -673,9 +673,7 @@ def q_lang_id(sf_dir: str):
     def fn(batch: pa.Table) -> pa.Table:
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "pred_lang": pa.array([lang_id(t) for t in
-                                   batch.column("text").to_pylist()],
-                                  pa.string()),
+            "pred_lang": lang_id_batch(batch.column("text")),
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")

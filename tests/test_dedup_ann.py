@@ -66,6 +66,25 @@ class TestTextFunctions:
         assert T.lang_id("el gato y la casa es que bonita") == "es"
         assert T.lang_id("我不是在这里的人") == "zh"
 
+    def test_lang_id_batch_parity(self):
+        # the vectorized Arrow path must match the scalar golden on the
+        # real fixture corpus plus hand-picked edge cases (empty text,
+        # all-zero scores, exact ties resolved to sorted-lang order)
+        import pyarrow.parquet as pq
+
+        texts = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                              columns=["text"]).column("text").to_pylist()
+        texts += ["", "   ", "xyzzy plugh", "我不是在这里的人",
+                  "le la et est el los y que",  # fr/es marker mix
+                  "the und le el 的"]           # 1-each tie -> "de"? no:
+        # ("de" has " und "; "en" has " the " -> tie at 1 -> first
+        # sorted lang with the max, i.e. "de" vs "en": sorted order is
+        # de < en < es < fr < zh, but the scalar rule keeps the FIRST
+        # strictly-greater, so a 1-1 tie keeps the earlier lang)
+        got = T.lang_id_batch(pa.array(texts, pa.string())).to_pylist()
+        want = [T.lang_id(t) for t in texts]
+        assert got == want
+
     def test_quality_counts(self):
         n_chars, n_sp, n_per, n_com, n_dig = T.quality_counts("a b. c, 12 x.")
         assert (n_chars, n_sp, n_per, n_com, n_dig) == (13, 4, 2, 1, 2)

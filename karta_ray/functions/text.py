@@ -52,6 +52,48 @@ def char_shingles(text: str, n: int = 3) -> np.ndarray:
     return np.unique(h)
 
 
+def char_shingles_batch(texts: list[str], n: int = 3) -> list[np.ndarray]:
+    """Distinct hashed n-grams for MANY documents in one vectorized
+    pass. Bit-identical to per-doc :func:`char_shingles` (same rolling
+    hash, same sorted-unique output), but the window hashing runs once
+    over the batch's concatenated code points and per-doc dedup is one
+    lexsort — no per-doc numpy call overhead.
+
+    Documents shorter than ``n`` keep the scalar fallback (whole-text
+    md5, char_shingles:44-46); they are rare and constant-cost.
+    """
+    nd = len(texts)
+    out: list = [None] * nd
+    enc = []
+    owners = []
+    for i, t in enumerate(texts):
+        if len(t) < n:
+            out[i] = (np.unique(hash_bytes_u64([t.encode()])) if t
+                      else np.empty(0, dtype=np.uint64))
+        else:
+            enc.append(t.encode("utf-32-le"))
+            owners.append(i)
+    if not enc:
+        return out
+    lens = np.fromiter((len(e) // 4 for e in enc), dtype=np.int64,
+                       count=len(enc))
+    codes = np.frombuffer(b"".join(enc), dtype=np.uint32).astype(np.uint64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    # hash EVERY window of the concatenation with contiguous slices (no
+    # index gather — that costs more than it saves on this host);
+    # windows that straddle a document boundary are computed but never
+    # read: each doc slices only its own [start, start+len-n] range
+    S = len(codes)
+    with np.errstate(over="ignore"):
+        h = np.zeros(S - n + 1, dtype=np.uint64)
+        for j in range(n):
+            h = (h * _B + codes[j:S - n + 1 + j]) % _M61
+    for k, i in enumerate(owners):
+        s0 = starts[k]
+        out[i] = np.unique(h[s0:s0 + lens[k] - n + 1])
+    return out
+
+
 # MinHash permutation parameters (fixed, deterministic)
 _MERSENNE = np.uint64((1 << 61) - 1)
 

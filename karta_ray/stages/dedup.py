@@ -32,15 +32,13 @@ def shingle_rows(batch: pa.Table, *, id_col: str, text_col: str,
     """Per document: distinct hashed n-grams -> rows (sh, doc_id)."""
     ids = batch.column(id_col).to_numpy()
     texts = batch.column(text_col).to_pylist()
-    sh_all = []
-    id_all = []
-    for i, t in enumerate(texts):
-        sh = T.char_shingles(t, n)
-        sh_all.append(sh.astype(np.int64))
-        id_all.append(np.full(len(sh), ids[i], dtype=np.int64))
+    shingles = T.char_shingles_batch(texts, n)
+    lens = np.fromiter((len(s) for s in shingles), dtype=np.int64,
+                       count=len(shingles))
     return pa.table({
-        "sh": pa.array(np.concatenate(sh_all) if sh_all else []),
-        "doc_id": pa.array(np.concatenate(id_all) if id_all else []),
+        "sh": pa.array((np.concatenate(shingles) if len(shingles)
+                        else np.empty(0, np.uint64)).astype(np.int64)),
+        "doc_id": pa.array(np.repeat(ids.astype(np.int64), lens)),
     })
 
 
@@ -151,7 +149,7 @@ def minhash_sig_rows(batch: pa.Table, *, id_col: str, text_col: str,
 
     ids = batch.column(id_col).to_numpy()
     texts = batch.column(text_col).to_pylist()
-    shingles = [T.char_shingles(t, n) for t in texts]
+    shingles = T.char_shingles_batch(texts, n)
     sigs = T.minhash_signatures_batch(shingles, k).astype(np.int64)
     return pa.table({
         "doc_id": pa.array(ids.astype(np.int64)),

@@ -66,6 +66,18 @@ class TestTextFunctions:
         assert T.lang_id("el gato y la casa es que bonita") == "es"
         assert T.lang_id("我不是在这里的人") == "zh"
 
+    def test_char_shingles_batch_parity(self):
+        # batched hashing must be bit-identical to the per-doc scalar
+        # path, including the short-text md5 fallback and empty docs
+        rng = np.random.RandomState(4)
+        texts = ["".join(chr(97 + c) for c in
+                         rng.randint(0, 26, size=rng.randint(0, 60)))
+                 for _ in range(200)]
+        texts += ["", "a", "ab", "日本語テキスト", "aaaaaaa"]
+        got = T.char_shingles_batch(texts, 3)
+        for t, g in zip(texts, got):
+            assert np.array_equal(g, T.char_shingles(t, 3))
+
     def test_lang_id_batch_parity(self):
         # the vectorized Arrow path must match the scalar golden on the
         # real fixture corpus plus hand-picked edge cases (empty text,

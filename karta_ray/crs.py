@@ -25,6 +25,12 @@ from .kernels import geodesy, karney
 class CRS:
     name: str = "base"
     kind: str = "cartesian"  # "cartesian" | "geographical"
+    # serialization surface (reference karta/crs.py:128-159: get_proj4 /
+    # proj4 / get_wkt / wkt backed by ref_proj4/ref_wkt attributes; the
+    # reference round-trips through osgeo — here the strings are emitted
+    # closed-form, one per registry CRS)
+    ref_proj4: str = ""
+    ref_wkt: str = ""
 
     def __repr__(self):
         return f"<CRS {self.name}>"
@@ -32,6 +38,20 @@ class CRS:
     @property
     def is_geographical(self) -> bool:
         return self.kind == "geographical"
+
+    def get_proj4(self) -> str:
+        return self.ref_proj4
+
+    @property
+    def proj4(self) -> str:
+        return self.get_proj4()
+
+    def get_wkt(self) -> str:
+        return self.ref_wkt
+
+    @property
+    def wkt(self) -> str:
+        return self.get_wkt()
 
 
 class CartesianCRS(CRS):
@@ -283,6 +303,166 @@ NSIDCSouth = PolarStereographicCRS("nsidc_south", lat_ts=-70.0, lon_0=0.0,
                                    south=True)
 LambertEqualArea = LambertEqualAreaCRS()
 GallPetersEqualArea = GallPetersCRS()
+
+# --- proj4 / WKT serialization strings (public proj.4 / OGC WKT1
+# notation; parameter values match the reference's predefined instances,
+# karta/crs.py:353-394, and GDAL's WKT1 emission conventions) ----------
+
+_WGS84_GEOGCS = (
+    'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+    '298.257223563,AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],'
+    'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
+    'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]],'
+    'AUTHORITY["EPSG","4326"]]')
+_SPHERE_GEOGCS = (
+    'GEOGCS["unnamed ellipse",DATUM["unknown",'
+    'SPHEROID["sphere",6370997,0]],PRIMEM["Greenwich",0],'
+    'UNIT["degree",0.0174532925199433]]')
+
+
+def _projcs(name: str, projection: str, params: list[tuple[str, float]],
+            geogcs: str = _WGS84_GEOGCS) -> str:
+    ps = ",".join(f'PARAMETER["{k}",{v:g}]' for k, v in params)
+    return (f'PROJCS["{name}",{geogcs},PROJECTION["{projection}"],{ps},'
+            'UNIT["metre",1,AUTHORITY["EPSG","9001"]]]')
+
+
+SphericalEarth.ref_proj4 = "+proj=lonlat +ellps=sphere +datum=WGS84"
+SphericalEarth.ref_wkt = _SPHERE_GEOGCS
+LonLatWGS84.ref_proj4 = "+proj=lonlat +ellps=WGS84 +datum=WGS84"
+LonLatWGS84.ref_wkt = _WGS84_GEOGCS
+WebMercator.ref_proj4 = (
+    "+proj=merc +a=6378137 +b=6378137 +lat_ts=0.0 +lon_0=0.0 +x_0=0.0 "
+    "+y_0=0 +k=1.0 +units=m +nadgrids=@null +wktext +no_defs")
+WebMercator.ref_wkt = _projcs(
+    "WGS 84 / Pseudo-Mercator", "Mercator_1SP",
+    [("central_meridian", 0), ("scale_factor", 1),
+     ("false_easting", 0), ("false_northing", 0)])
+UPSNorth.ref_proj4 = (
+    "+proj=stere +lat_0=90 +lat_ts=90 +lon_0=0 +k=0.994 +x_0=2000000 "
+    "+y_0=2000000 +units=m +ellps=WGS84 +datum=WGS84 +no_defs")
+UPSNorth.ref_wkt = _projcs(
+    "Universal Polar Stereographic (North)", "Polar_Stereographic",
+    [("latitude_of_origin", 90), ("central_meridian", 0),
+     ("scale_factor", 0.994), ("false_easting", 2000000),
+     ("false_northing", 2000000)])
+UPSSouth.ref_proj4 = (
+    "+proj=stere +lat_0=-90 +lat_ts=-90 +lon_0=0 +k=0.994 +x_0=2000000 "
+    "+y_0=2000000 +units=m +ellps=WGS84 +datum=WGS84 +no_defs")
+UPSSouth.ref_wkt = _projcs(
+    "Universal Polar Stereographic (South)", "Polar_Stereographic",
+    [("latitude_of_origin", -90), ("central_meridian", 0),
+     ("scale_factor", 0.994), ("false_easting", 2000000),
+     ("false_northing", 2000000)])
+NSIDCNorth.ref_proj4 = (
+    "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +k=1 +x_0=0 +y_0=0 "
+    "+units=m +datum=WGS84 +no_defs")
+NSIDCNorth.ref_wkt = _projcs(
+    "NSIDC (North)", "Polar_Stereographic",
+    [("latitude_of_origin", 70), ("central_meridian", -45),
+     ("scale_factor", 1), ("false_easting", 0), ("false_northing", 0)])
+NSIDCSouth.ref_proj4 = (
+    "+proj=stere +lat_0=-90 +lat_ts=-70 +lon_0=0 +k=1 +x_0=0 +y_0=0 "
+    "+units=m +datum=WGS84 +no_defs")
+NSIDCSouth.ref_wkt = _projcs(
+    "NSIDC (South)", "Polar_Stereographic",
+    [("latitude_of_origin", -70), ("central_meridian", 0),
+     ("scale_factor", 1), ("false_easting", 0), ("false_northing", 0)])
+LambertEqualArea.ref_proj4 = (
+    "+proj=laea +lat_0=0 +lon_0=0 +x_0=0 +ellps=WGS84 +y_0=0 "
+    "+datum=WGS84")
+LambertEqualArea.ref_wkt = _projcs(
+    "Lambert Equal Area", "Lambert_Azimuthal_Equal_Area",
+    [("latitude_of_center", 0), ("longitude_of_center", 0),
+     ("false_easting", 0), ("false_northing", 0)])
+GallPetersEqualArea.ref_proj4 = (
+    "+proj=cea +lon_0=0 +lat_ts=45 +x_0=0 +y_0=0 +ellps=WGS84 "
+    "+datum=WGS84 +units=m +no_defs")
+GallPetersEqualArea.ref_wkt = _projcs(
+    "Gall Peters Equal Area", "Cylindrical_Equal_Area",
+    [("standard_parallel_1", 45), ("central_meridian", 0),
+     ("false_easting", 0), ("false_northing", 0)])
+
+
+def _proj4_dict(projstring: str) -> dict:
+    out = {}
+    for tok in projstring.split():
+        if not tok.startswith("+"):
+            continue
+        k, _, v = tok[1:].partition("=")
+        out[k] = v
+    return out
+
+
+def crs_from_proj4(projstring: str) -> CRS:
+    """Resolve a proj.4 string to a registry CRS (reference
+    ``ProjectedCRS(proj=...)`` / ``crs_from_wkt`` analogue,
+    karta/crs.py:247-279 — restricted to the closed-form CRSs this
+    engine implements)."""
+    d = _proj4_dict(projstring)
+    proj = d.get("proj", "")
+    if not d:
+        return Cartesian
+    if proj in ("lonlat", "longlat", "latlon", "latlong"):
+        return (SphericalEarth if d.get("ellps") == "sphere"
+                else LonLatWGS84)
+    if proj == "merc" or proj == "webmerc":
+        return WebMercator
+    if proj == "stere":
+        lat_ts = float(d.get("lat_ts", d.get("lat_0", 90)))
+        lon_0 = float(d.get("lon_0", 0))
+        k = float(d.get("k", d.get("k_0", 1)))
+        for crs in (UPSNorth, UPSSouth, NSIDCNorth, NSIDCSouth):
+            if (abs(crs._kw["lat_ts"] - lat_ts) < 1e-9
+                    and abs(crs._kw["lon_0"] - lon_0) < 1e-9
+                    and abs(crs._kw["k0"] - k) < 1e-9):
+                return crs
+        raise ValueError(f"unsupported polar stereographic: {projstring}")
+    if proj == "laea":
+        return LambertEqualArea
+    if proj == "cea":
+        return GallPetersEqualArea
+    raise ValueError(f"cannot resolve proj4 string {projstring!r}")
+
+
+def crs_from_wkt(wkt: str) -> CRS:
+    """Resolve a WKT1 string to a registry CRS (reference
+    ``crs_from_wkt``, karta/crs.py:334-347)."""
+    import re
+
+    def params():
+        return {m.group(1): float(m.group(2)) for m in re.finditer(
+            r'PARAMETER\["([^"]+)",([-0-9.eE]+)\]', wkt)}
+
+    m = re.search(r'PROJECTION\["([^"]+)"\]', wkt)
+    if m is None:
+        if not wkt.strip():
+            return Cartesian
+        sph = re.search(r'SPHEROID\["([^"]+)",([-0-9.eE]+),([-0-9.eE]+)',
+                        wkt)
+        if sph and float(sph.group(3)) == 0.0:
+            return SphericalEarth
+        return LonLatWGS84
+    projection = m.group(1)
+    p = params()
+    if projection == "Mercator_1SP":
+        return WebMercator
+    if projection == "Polar_Stereographic":
+        lat = p.get("latitude_of_origin", 90)
+        lon = p.get("central_meridian", 0)
+        k = p.get("scale_factor", 1)
+        for crs in (UPSNorth, UPSSouth, NSIDCNorth, NSIDCSouth):
+            if (abs(crs._kw["lat_ts"] - lat) < 1e-9
+                    and abs(crs._kw["lon_0"] - lon) < 1e-9
+                    and abs(crs._kw["k0"] - k) < 1e-9):
+                return crs
+        raise ValueError(f"unsupported polar stereographic WKT: {wkt}")
+    if projection == "Lambert_Azimuthal_Equal_Area":
+        return LambertEqualArea
+    if projection == "Cylindrical_Equal_Area":
+        return GallPetersEqualArea
+    raise ValueError(f"cannot resolve WKT projection {projection!r}")
+
 
 _REGISTRY = {
     "cartesian": Cartesian,

@@ -143,3 +143,62 @@ class TestProjectedCRSBehavior:
                     "nsidc_south", "lambert_equal_area", "gall_peters"):
             assert crs.get_crs(key).name == key or True
             assert not crs.get_crs(key).is_geographical
+
+
+class TestCRSSerialization:
+    """proj4/WKT surface, goldens ported from the reference suite
+    (/root/reference/tests/crs_tests.py:18-48)."""
+
+    def test_get_proj4_sphere(self):
+        from karta_ray import crs as C
+        assert C.SphericalEarth.get_proj4() == \
+            "+proj=lonlat +ellps=sphere +datum=WGS84"
+
+    def test_get_proj4_lonlat_wgs84(self):
+        from karta_ray import crs as C
+        p4 = C.LonLatWGS84.proj4
+        assert "+proj=lonlat" in p4 and "+ellps=WGS84" in p4
+
+    def test_get_proj4_nsidc_north(self):
+        from karta_ray import crs as C
+        p4 = C.NSIDCNorth.proj4
+        for frag in ("+proj=stere", "+lat_0=90", "+lat_ts=70",
+                     "+lon_0=-45", "+k=1", "+x_0=0", "+y_0=0",
+                     "+units=m", "+datum=WGS84"):
+            assert frag in p4, frag
+
+    def test_get_wkt_wgs84(self):
+        from karta_ray import crs as C
+        assert C.LonLatWGS84.wkt.startswith(
+            'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",'
+            '6378137,298.257223563,AUTHORITY["EPSG","7030"]]')
+        assert ('PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
+                'UNIT["degree",0.0174532925199433' in C.LonLatWGS84.wkt)
+
+    def test_get_wkt_projcs(self):
+        from karta_ray import crs as C
+        w = C.NSIDCNorth.wkt
+        assert w.startswith('PROJCS["NSIDC (North)",GEOGCS["WGS 84"')
+        assert 'PROJECTION["Polar_Stereographic"]' in w
+        assert 'PARAMETER["latitude_of_origin",70]' in w
+        assert 'PARAMETER["central_meridian",-45]' in w
+
+    def test_round_trip_all_registry(self):
+        from karta_ray import crs as C
+        for name, c in C._REGISTRY.items():
+            if name == "cartesian":
+                continue
+            assert C.crs_from_proj4(c.proj4) is c, name
+            assert C.crs_from_wkt(c.wkt) is c, name
+
+    def test_crs_from_wkt_geographic_dispatch(self):
+        from karta_ray import crs as C
+        assert C.crs_from_wkt(C.SphericalEarth.wkt) is C.SphericalEarth
+        assert C.crs_from_wkt(C.LonLatWGS84.wkt) is C.LonLatWGS84
+
+    def test_crs_from_proj4_spelling_variants(self):
+        from karta_ray import crs as C
+        assert C.crs_from_proj4("+proj=longlat +datum=WGS84") \
+            is C.LonLatWGS84
+        assert C.crs_from_proj4("+proj=latlong +ellps=sphere") \
+            is C.SphericalEarth

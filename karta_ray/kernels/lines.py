@@ -44,6 +44,41 @@ def _dist_az_walk(crs):
     return dist, az, walk
 
 
+def line_to_polygon(verts):
+    """Line -> Polygon vertex array (reference ``Line.to_polygon``,
+    karta/vector/geometry.py:971-973: the ring is stored OPEN; closure
+    is implicit). Drops a duplicated closing vertex if present."""
+    verts = np.asarray(verts, dtype=np.float64)
+    if len(verts) > 1 and np.array_equal(verts[0], verts[-1]):
+        return verts[:-1]
+    return verts
+
+
+def polygon_to_line(verts):
+    """Polygon ring -> self-closing polyline (reference
+    ``Polygon.to_line``, karta/vector/geometry.py:1176-1179: appends the
+    first vertex; sub-ring (hole) handling is the caller's)."""
+    verts = np.asarray(verts, dtype=np.float64)
+    return np.vstack([verts, verts[:1]])
+
+
+def flat_distances_to(verts, px, py):
+    """Planar distance from each vertex to a point (reference
+    ``flat_distances_to``, karta/vector/geometry.py:564-569)."""
+    verts = np.asarray(verts, dtype=np.float64)
+    return np.hypot(verts[:, 0] - px, verts[:, 1] - py)
+
+
+def distances_to(verts, px, py, crs=crsmod.Cartesian):
+    """CRS-dispatched distance from each vertex to a point (reference
+    ``distances_to``, geometry.py:571-574 — per-vertex Point.distance,
+    here one vectorized call)."""
+    verts = np.asarray(verts, dtype=np.float64)
+    return crsmod.point_distance(crs, verts[:, 0], verts[:, 1],
+                                 np.full(len(verts), px),
+                                 np.full(len(verts), py))
+
+
 def segment_lengths(verts):
     """Planar per-segment lengths as ``sqrt(dx*dx + dy*dy)`` — written
     with explicit sqrt (NOT np.hypot, which is only faithfully rounded

@@ -57,6 +57,61 @@ def world_coords(transform, i, j):
     return x, y
 
 
+def center_coords(transform, shape):
+    """Meshes of cell-center coordinates, shape (ny, nx) each (reference
+    ``center_coords``/``coordmesh``, karta/raster/grid.py:299-308) —
+    broadcast closed form, no per-row loop."""
+    x0, y0, dx, dy, sx, sy = transform
+    ny, nx = shape
+    jj = np.arange(nx, dtype=np.float64)[None, :]
+    ii = np.arange(ny, dtype=np.float64)[:, None]
+    x = x0 + (jj + 0.5) * dx + (ii + 0.5) * sx
+    y = y0 + (ii + 0.5) * dy + (jj + 0.5) * sy
+    return np.broadcast_to(x, shape).copy(), np.broadcast_to(y, shape).copy()
+
+
+coordmesh = center_coords  # reference alias (grid.py:271-273)
+
+
+def vertex_coords(transform, shape):
+    """Meshes of cell-vertex coordinates, shape (ny+1, nx+1) each
+    (reference ``vertex_coords``, karta/raster/grid.py:310-320; the
+    reference leaves its last row uninitialized — np.empty garbage — so
+    this emits the closed form for ALL ny+1 rows instead)."""
+    x0, y0, dx, dy, sx, sy = transform
+    ny, nx = shape
+    jj = np.arange(nx + 1, dtype=np.float64)[None, :]
+    ii = np.arange(ny + 1, dtype=np.float64)[:, None]
+    x = x0 + jj * dx + ii * sx
+    y = y0 + ii * dy + jj * sy
+    out_shape = (ny + 1, nx + 1)
+    return (np.broadcast_to(x, out_shape).copy(),
+            np.broadcast_to(y, out_shape).copy())
+
+
+def data_mask(values, nodata=np.nan):
+    """Boolean mask of valid (non-nodata) cells; multi-band stacks are
+    valid only where ALL bands hold data (reference ``data_mask`` /
+    ``data_mask_full``, karta/raster/grid.py:464-477)."""
+    v = np.asarray(values)
+    m = ~np.isnan(v) if (isinstance(nodata, float) and np.isnan(nodata)) \
+        else v != nodata
+    if v.ndim == 3:
+        m = np.all(m, axis=0)
+    return m
+
+
+def data_bbox(values, transform, nodata=np.nan):
+    """(xmin, ymin, xmax, ymax) of the data-holding region, edge
+    referenced (reference ``data_bbox``, karta/raster/grid.py:334-336:
+    data_extent with reference="edge", reordered)."""
+    x0, y0, dx, dy, sx, sy = transform
+    xmin, ymin, xmax, ymax = data_extent(values, transform, nodata)
+    # center -> edge: pad by half a cell on each side
+    return (xmin - dx / 2.0, ymin - dy / 2.0,
+            xmax + dx / 2.0, ymax + dy / 2.0)
+
+
 def sample_nearest(transform, values, x, y, nodata=np.nan):
     """Nearest-cell-center sampling; out-of-bounds -> nodata."""
     I, J = positions(transform, x, y)

@@ -245,3 +245,71 @@ class TestRank3:
 
         with pytest.raises(ValueError):
             apply_affine(np.zeros((1, 2)), np.zeros((4, 4)))
+
+
+class TestConversionsAndDistances:
+    """Line<->Polygon conversion + per-vertex distance accessors
+    (reference geometry.py:564-574, 971-973, 1176-1179)."""
+
+    def test_polygon_to_line_closes(self):
+        import numpy as np
+        from karta_ray.kernels import lines as L
+        ring = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 3.0]])
+        out = L.polygon_to_line(ring)
+        assert len(out) == 4
+        assert np.array_equal(out[0], out[-1])
+
+    def test_line_to_polygon_drops_closure(self):
+        import numpy as np
+        from karta_ray.kernels import lines as L
+        closed = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [0.0, 0.0]])
+        out = L.line_to_polygon(closed)
+        assert len(out) == 3
+        rt = L.polygon_to_line(out)
+        assert np.array_equal(rt, closed)
+
+    def test_flat_distances_to(self):
+        import numpy as np
+        from karta_ray.kernels import lines as L
+        verts = np.array([[0.0, 0.0], [3.0, 4.0], [6.0, 8.0]])
+        d = L.flat_distances_to(verts, 0.0, 0.0)
+        assert np.allclose(d, [0.0, 5.0, 10.0])
+
+    def test_distances_to_geodesic(self):
+        import numpy as np
+        from karta_ray import crs as C
+        from karta_ray.kernels import lines as L
+        verts = np.array([[0.0, 0.0], [0.0, 1.0]])
+        d = L.distances_to(verts, 0.0, 0.0, crs=C.LonLatWGS84)
+        assert d[0] == 0.0
+        # one degree of latitude on WGS84 ~ 110.57 km
+        assert abs(d[1] - 110574.0) < 200.0
+
+    def test_center_vertex_coords(self):
+        import numpy as np
+        from karta_ray.kernels import raster as RK
+        t = (10.0, 20.0, 2.0, 3.0, 0.0, 0.0)
+        cx, cy = RK.center_coords(t, (2, 3))
+        assert cx.shape == (2, 3) and cy.shape == (2, 3)
+        assert cx[0, 0] == 11.0 and cy[0, 0] == 21.5
+        vx, vy = RK.vertex_coords(t, (2, 3))
+        assert vx.shape == (3, 4)
+        assert vx[0, 0] == 10.0 and vy[2, 3] == 26.0
+        mx, my = RK.coordmesh(t, (2, 3))
+        assert np.array_equal(mx, cx)
+
+    def test_data_mask_and_bbox(self):
+        import numpy as np
+        from karta_ray.kernels import raster as RK
+        v = np.full((4, 5), np.nan)
+        v[1, 2] = 7.0
+        v[2, 3] = 8.0
+        m = RK.data_mask(v)
+        assert m.sum() == 2
+        t = (0.0, 0.0, 1.0, 1.0, 0.0, 0.0)
+        bb = RK.data_bbox(v, t)
+        # centers (2.5,1.5)..(3.5,2.5) padded half a cell -> edges
+        assert bb == (2.0, 1.0, 4.0, 3.0)
+        # multiband: valid only where all bands hold data
+        stack = np.stack([v, np.roll(v, 1, axis=1)])
+        assert RK.data_mask(stack).sum() == 0

@@ -285,11 +285,16 @@ def resize(values, transform, xmin, ymin, xmax, ymax, nodata=np.nan):
     is smaller, pad with nodata where larger. Extents snap to whole
     cells of the existing transform."""
     x0, y0, dx, dy, sx, sy = transform
-    if sx or sy:
-        raise NotImplementedError("resize not defined for skewed grids")
     ny, nx = values.shape[:2]
-    j0 = int(round((xmin - x0) / dx))
-    i0 = int(round((ymin - y0) / dy))
+    # solve the lattice shift from the full affine (x = x0 + j dx + i sx,
+    # y = y0 + i dy + j sy), so sheared grids resize on their own
+    # lattice too (reference resize keeps sx/sy in Tnew,
+    # grid.py:590-618; sizes are measured along the grid axes there as
+    # well)
+    det = dx * dy - sx * sy
+    ox, oy = xmin - x0, ymin - y0
+    j0 = int(round((ox * dy - oy * sx) / det))
+    i0 = int(round((oy * dx - ox * sy) / det))
     new_nx = int(round((xmax - xmin) / dx))
     new_ny = int(round((ymax - ymin) / dy))
     out = np.full((new_ny, new_nx), nodata, dtype=np.float64)
@@ -300,7 +305,8 @@ def resize(values, transform, xmin, ymin, xmax, ymax, nodata=np.nan):
     if src_i1 > src_i0 and src_j1 > src_j0:
         out[src_i0 - i0:src_i1 - i0, src_j0 - j0:src_j1 - j0] = \
             values[src_i0:src_i1, src_j0:src_j1]
-    return out, (x0 + j0 * dx, y0 + i0 * dy, dx, dy, 0.0, 0.0)
+    return out, (x0 + j0 * dx + i0 * sx, y0 + i0 * dy + j0 * sy,
+                 dx, dy, sx, sy)
 
 
 def resample(values, transform, new_dx, new_dy, *, method="nearest",
@@ -308,13 +314,14 @@ def resample(values, transform, new_dx, new_dy, *, method="nearest",
     """Resample to a new resolution (karta ``Grid.resample``,
     grid.py:724-760): sample the source at the new pixel centers."""
     x0, y0, dx, dy, sx, sy = transform
-    if sx or sy:
-        raise NotImplementedError("resample not defined for skewed grids")
     ny, nx = values.shape[:2]
     new_ny = int(ny * dy / new_dy)
     new_nx = int(nx * dx / new_dx)
     jj, ii = np.meshgrid(np.arange(new_nx), np.arange(new_ny))
-    new_t = (x0, y0, new_dx, new_dy, 0.0, 0.0)
+    # the new grid keeps the source shear (reference resample builds
+    # tnew with t[4], t[5] preserved, grid.py:744-747); sample_* invert
+    # the full affine, so sheared sources resolve correctly
+    new_t = (x0, y0, new_dx, new_dy, sx, sy)
     xq, yq = world_coords(new_t, ii.ravel(), jj.ravel())
     if method == "nearest":
         out = sample_nearest(transform, values, xq, yq, nodata)

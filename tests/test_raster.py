@@ -431,3 +431,48 @@ class TestMergeGridsStage:
         out = merge_grids_stage([ta, tb]).to_pandas().set_index(["I", "J"])
         assert out.loc[(0, 0), "value"] == 20.0  # only gb contributes
         assert out.loc[(1, 1), "value"] == 15.0
+
+
+class TestSkewedResizeResample:
+    """Sheared-lattice support for resize/resample (reference keeps
+    sx/sy in the new transform: grid.py:590-618, 744-747)."""
+
+    T_SKEW = (10.0, 20.0, 2.0, 2.0, 0.5, 0.25)
+
+    def test_skewed_resize_lattice_round_trip(self):
+        rng = np.random.RandomState(1)
+        vals = rng.randn(6, 8)
+        # grow by whole cells in each direction, then crop back
+        x0, y0, dx, dy, sx, sy = self.T_SKEW
+        grown, Tg = RK.resize(vals, self.T_SKEW,
+                              x0 - 2 * dx, y0 - 1 * dy,
+                              x0 + (8 + 1) * dx, y0 + (6 + 2) * dy)
+        assert Tg[2:] == self.T_SKEW[2:]
+        assert grown.shape == (9, 11)
+        # origin moved by (-1, -2) lattice steps through the shear
+        assert np.isclose(Tg[0], x0 - 2 * dx + (-1) * sx)
+        assert np.isclose(Tg[1], y0 - 1 * dy + (-2) * sy)
+        back, Tb = RK.resize(grown, Tg, *(
+            x0, y0, x0 + 8 * dx, y0 + 6 * dy))
+        assert np.isclose(Tb[0], x0) and np.isclose(Tb[1], y0)
+        assert np.array_equal(back, vals)
+
+    def test_skewed_resample_identity(self):
+        rng = np.random.RandomState(2)
+        vals = rng.randn(5, 7)
+        out, T = RK.resample(vals, self.T_SKEW, 2.0, 2.0,
+                             method="nearest")
+        assert T == self.T_SKEW
+        assert np.array_equal(out, vals)
+
+    def test_skewed_resample_downsample_matches_manual(self):
+        vals = np.arange(36, dtype=np.float64).reshape(6, 6)
+        out, T = RK.resample(vals, self.T_SKEW, 4.0, 4.0,
+                             method="nearest")
+        assert out.shape == (3, 3)
+        assert T[2:] == (4.0, 4.0, 0.5, 0.25)
+        # each new center must equal the nearest source sample
+        jj, ii = np.meshgrid(np.arange(3), np.arange(3))
+        xq, yq = RK.world_coords(T, ii.ravel(), jj.ravel())
+        want = RK.sample_nearest(self.T_SKEW, vals, xq, yq)
+        assert np.array_equal(out.ravel(), want)

@@ -60,8 +60,9 @@ def warmup():
     def touch(batch):
         import numpy as np  # noqa: F401
 
+        from karta_ray.functions import text  # noqa: F401
         from karta_ray.kernels import predicates, tiles  # noqa: F401
-        from karta_ray.stages import extract, join  # noqa: F401
+        from karta_ray.stages import ann, dedup, extract, join  # noqa: F401
         return batch
 
     (ray.data.range(NUM_CPUS * 16, override_num_blocks=NUM_CPUS * 16)

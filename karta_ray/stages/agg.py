@@ -47,3 +47,90 @@ def tree_agg(ds, keys: list, col_aggs: list, *, fanout: int = 32):
 def tree_sum(ds, keys: list, sum_cols: list, *, fanout: int = 32):
     """tree_agg specialization: every column summed."""
     return tree_agg(ds, keys, [(c, "sum") for c in sum_cols], fanout=fanout)
+
+
+def sorted_sum(ds, keys: list, sum_cols: list):
+    """Distributed sum-by-key for UNBOUNDED key cardinality with many
+    tiny groups.
+
+    ``ds.groupby(keys).aggregate(Sum)`` pays a per-group finalization
+    cost that dominates when groups are small (372k 1-row groups took
+    7+ s on this host); ``tree_sum`` ends in a single-block combine that
+    caps at one worker's memory. This does neither:
+
+    1. ``sort(keys)`` — Ray's range shuffle (fast; 0.2 s for the same
+       input), leaving each key on one block EXCEPT keys that straddle
+       a block boundary;
+    2. per-block combine with Arrow's C++ ``Table.group_by`` (no
+       per-group Python);
+    3. boundary residue: the first/last key of every block (2 x blocks
+       rows, driver-side) identifies possible straddlers; their rows —
+       bounded by blocks x straddling keys, not by data size — are
+       re-combined on one small block and unioned back.
+
+    Every step's driver/materialized footprint is O(blocks), never
+    O(rows): the 100-TB-safe shape for pair dedup and other
+    high-cardinality sums.
+    """
+    import numpy as np
+
+    combine = _make_combine(keys, [(c, "sum") for c in sum_cols])
+    blocks = (ds.sort(keys)
+                .map_batches(combine, batch_size=None,
+                             batch_format="pyarrow")
+                .materialize())
+
+    def edges(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.select(keys)
+        return pa.concat_tables(
+            [batch.slice(0, 1), batch.slice(len(batch) - 1, 1)]
+        ).select(keys)
+
+    edge_batches = list(blocks.map_batches(
+        edges, batch_size=None, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"))
+    if not edge_batches:
+        return blocks
+    edge_rows = pa.concat_tables(edge_batches)
+    if edge_rows.num_rows == 0:
+        return blocks
+    cols = [edge_rows.column(k).to_numpy() for k in keys]
+    seen: dict = {}
+    straddlers: set = set()
+    for row in zip(*cols):
+        if row in seen:
+            straddlers.add(row)
+        seen[row] = True
+    # (a single-key block lists the same key as both edges — harmlessly
+    # over-approximates; the residue combine is idempotent)
+    if not straddlers:
+        return blocks
+
+    strad = [np.array([r[d] for r in straddlers])
+             for d in range(len(keys))]
+
+    def _mask(batch: pa.Table) -> "np.ndarray":
+        m = np.zeros(len(batch), dtype=bool)
+        bc = [batch.column(k).to_numpy() for k in keys]
+        for row in zip(*strad):
+            mm = bc[0] == row[0]
+            for d in range(1, len(keys)):
+                mm &= bc[d] == row[d]
+            m |= mm
+        return m
+
+    def keep_main(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(~_mask(batch)))
+
+    def keep_residue(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(_mask(batch)))
+
+    main = blocks.map_batches(keep_main, batch_size=None,
+                              batch_format="pyarrow")
+    residue = (blocks.map_batches(keep_residue, batch_size=None,
+                                  batch_format="pyarrow")
+               .repartition(1)
+               .map_batches(combine, batch_size=None,
+                            batch_format="pyarrow"))
+    return main.union(residue)

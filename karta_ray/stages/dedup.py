@@ -264,16 +264,16 @@ def minhash_lsh_pairs(docs_ds, *, id_col: str = "doc_id",
                               batch_format="pyarrow")
     cand = band_r.groupby(["band", "key"]).map_groups(
         _lsh_candidates, batch_format="pyarrow")
-    # cross-band pair dedup. Default "groupby" is a hash/sort shuffle —
-    # fully distributed, safe for UNBOUNDED pair cardinality (the
-    # corpus-scale shape). "tree" ends in a single-block combine:
-    # lower fixed latency, only for small candidate sets.
+    # cross-band pair dedup. Default "groupby" is a distributed range
+    # shuffle (sorted_sum: sort + per-block Arrow combine + bounded
+    # boundary residue) — safe for UNBOUNDED pair cardinality (the
+    # corpus-scale shape) without ray.data.groupby's per-tiny-group
+    # finalization cost. "tree" ends in a single-block combine: lower
+    # fixed latency, only for small candidate sets.
     if pair_dedup == "groupby":
-        import ray.data as _rd
+        from .agg import sorted_sum
 
-        uniq = (cand.groupby(["doc_a", "doc_b"])
-                .aggregate(_rd.aggregate.Sum("n"))
-                .rename_columns(["doc_a", "doc_b", "n"]))
+        uniq = sorted_sum(cand, ["doc_a", "doc_b"], ["n"])
     else:
         uniq = tree_sum(cand, ["doc_a", "doc_b"], ["n"])
 

@@ -464,3 +464,70 @@ class TestIVFGroupedScorer:
         assert (got.groupby("query_id").size() <= 5).all()
         # self-exclusion preserved through the grouped path
         assert not ((got.query_id == got.vec_id).any())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSortedSum:
+    """sorted_sum: range-shuffle + per-block combine + bounded boundary
+    residue — must equal a pandas groupby sum exactly."""
+
+    def _check(self, n_rows, n_keys, blocks, seed):
+        import pandas as pd
+        import ray.data
+
+        from karta_ray.stages.agg import sorted_sum
+
+        rng = np.random.RandomState(seed)
+        a = rng.randint(0, n_keys, size=n_rows).astype(np.int64)
+        b = rng.randint(0, 3, size=n_rows).astype(np.int64)
+        n = rng.randint(1, 5, size=n_rows).astype(np.int64)
+        tbl = pa.table({"ka": pa.array(a), "kb": pa.array(b),
+                        "n": pa.array(n)})
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        got = sorted_sum(ds, ["ka", "kb"], ["n"]).to_pandas()
+        got = got.sort_values(["ka", "kb"]).reset_index(drop=True)
+        want = (pd.DataFrame({"ka": a, "kb": b, "n": n})
+                .groupby(["ka", "kb"], as_index=False).n.sum()
+                .sort_values(["ka", "kb"]).reset_index(drop=True))
+        assert got.ka.tolist() == want.ka.tolist()
+        assert got.kb.tolist() == want.kb.tolist()
+        assert got.n.tolist() == want.n.tolist()
+        # no key may appear twice (the straddler residue must dedup)
+        assert not got.duplicated(["ka", "kb"]).any()
+
+    def test_many_tiny_groups(self):
+        self._check(20000, 15000, 16, 0)
+
+    def test_few_hot_keys_straddle_blocks(self):
+        # 5 keys over 16 blocks: every key straddles many boundaries
+        self._check(20000, 5, 16, 1)
+
+    def test_single_block(self):
+        self._check(500, 50, 1, 2)
+
+    def test_empty(self):
+        import ray.data
+
+        from karta_ray.stages.agg import sorted_sum
+
+        tbl = pa.table({"ka": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64())})
+        out = sorted_sum(ray.data.from_arrow(tbl), ["ka"], ["n"])
+        assert out.count() == 0
+
+    def test_minhash_pair_dedup_paths_agree(self):
+        import ray.data
+
+        from karta_ray.stages.dedup import minhash_lsh_pairs
+
+        ids, docs = corpus()
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(docs, pa.string())})).repartition(4)
+        a = minhash_lsh_pairs(ds, threshold=0.5,
+                              pair_dedup="groupby").to_pandas()
+        b = minhash_lsh_pairs(ds, threshold=0.5,
+                              pair_dedup="tree").to_pandas()
+        key = ["doc_a", "doc_b"]
+        assert (a.sort_values(key).reset_index(drop=True)[key].equals(
+            b.sort_values(key).reset_index(drop=True)[key]))

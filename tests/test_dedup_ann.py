@@ -531,3 +531,18 @@ class TestSortedSum:
         key = ["doc_a", "doc_b"]
         assert (a.sort_values(key).reset_index(drop=True)[key].equals(
             b.sort_values(key).reset_index(drop=True)[key]))
+
+
+class TestPropsRegexParity:
+    def test_regex_matches_json_loads_on_fixture(self):
+        import json
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        props = pq.read_table("/root/testdata/sf0.01/events.parquet",
+                              columns=["props"]).column("props")
+        m = pc.extract_regex(props, r'"k"\s*:\s*(?P<k>-?\d+)')
+        got = pc.cast(pc.struct_field(m, "k"), pa.int64()).to_pylist()
+        want = [int(json.loads(p)["k"]) for p in props.to_pylist()]
+        assert got == want

@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join": Q.q_pip_join,
         "pip_agg": Q.q_pip_agg,
         "grid_binning": Q.q_grid_binning,
+        "geotiff_grid": Q.q_geotiff_grid,
         "within_radius": Q.q_within_radius,
         "knn": Q.q_knn,
         "knn_join": Q.q_knn_join,

@@ -258,6 +258,79 @@ def q_grid_binning(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_geotiff_grid(sf_dir: str):
+    """GeoTIFF sink+source certification through the driver: bin the
+    lineitem points into the 1-degree count grid (distributed, bounded
+    aggregate), write it as a deflate-compressed GeoTIFF with the pure-
+    Python codec, then decode it back with the PARALLEL reader
+    (``read_geotiff_dataset``: driver parses only the IFD, Ray tasks
+    decode strip ranges) and emit the non-empty cells. Bit-exact
+    round-trip means the output equals the grid_binning counts — which
+    is exactly what the SQL oracle computes."""
+    import os
+    import tempfile
+
+    from ..sources.geotiff import read_geotiff_dataset, write_geotiff
+    from ..stages.agg import tree_sum
+
+    ds = points_ds(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        gi = np.floor(lon + 180.0).astype(np.int64)
+        gj = np.floor(lat + 80.0).astype(np.int64)
+        t = pa.table({"gi": pa.array(gi), "gj": pa.array(gj),
+                      "n": pa.array(np.ones(len(gi), dtype=np.int64))})
+        g = t.group_by(["gi", "gj"]).aggregate([("n", "sum")])
+        return g.rename_columns(["gi", "gj", "n"])
+
+    agg = tree_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                   ["gi", "gj"], ["n"])
+    # the aggregate is bounded (360 x 160 cells) — assembling the grid
+    # driver-side is O(cells), not O(rows)
+    cells = pa.concat_tables(agg.iter_batches(batch_format="pyarrow",
+                                              batch_size=None))
+    grid = np.zeros((160, 360), dtype=np.int32)
+    grid[cells.column("gj").to_numpy(),
+         cells.column("gi").to_numpy()] = cells.column("n").to_numpy()
+
+    path = os.path.join(tempfile.gettempdir(),
+                        f"karta_ray_geotiff_grid_{os.getpid()}.tif")
+    write_geotiff(path, grid, (-180.0, -80.0, 1.0, 1.0, 0.0, 0.0),
+                  crs="lonlat_wgs84", compress="deflate",
+                  rows_per_strip=16, nodata=0)
+    tiles = read_geotiff_dataset(path, strips_per_task=4)
+
+    def cells_from_tiles(batch: pa.Table) -> pa.Table:
+        out_gi, out_gj, out_n = [], [], []
+        for r in range(batch.num_rows):
+            h = batch.column("pny")[r].as_py()
+            w = batch.column("pnx")[r].as_py()
+            vals = np.frombuffer(batch.column("values")[r].as_py(),
+                                 dtype=np.dtype(
+                                     batch.column("dtype")[r].as_py())
+                                 ).reshape(h, w)
+            i0 = batch.column("i0")[r].as_py()
+            j0 = batch.column("j0")[r].as_py()
+            ii, jj = np.nonzero(vals)
+            out_gi.append(jj + j0)
+            out_gj.append(ii + i0)
+            out_n.append(vals[ii, jj])
+        if not out_gi:
+            return pa.table({"gi": pa.array([], pa.int64()),
+                             "gj": pa.array([], pa.int64()),
+                             "n_points": pa.array([], pa.int64())})
+        return pa.table({
+            "gi": pa.array(np.concatenate(out_gi).astype(np.int64)),
+            "gj": pa.array(np.concatenate(out_gj).astype(np.int64)),
+            "n_points": pa.array(
+                np.concatenate(out_n).astype(np.int64)),
+        })
+
+    return tiles.map_batches(cells_from_tiles, batch_format="pyarrow")
+
+
 RADIUS_CENTER = (10.33, 20.77)
 RADIUS_M = 2_000_000.0
 
@@ -929,6 +1002,13 @@ SELECT CAST(floor(lon + 180.0) AS BIGINT) AS gi,
        COUNT(*) AS n_points,
        CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE)
          / CAST(COUNT(*) AS DOUBLE) AS mean_qty
+FROM pts GROUP BY 1, 2
+""",
+        "geotiff_grid": f"""
+WITH pts AS ({PTS_SQL})
+SELECT CAST(floor(lon + 180.0) AS BIGINT) AS gi,
+       CAST(floor(lat + 80.0) AS BIGINT) AS gj,
+       COUNT(*) AS n_points
 FROM pts GROUP BY 1, 2
 """,
         "within_radius": f"""

@@ -19,8 +19,6 @@ import pyarrow as pa
 
 def _make_combine(keys: list, col_aggs: list):
     def combine(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return batch
         g = batch.group_by(keys).aggregate([(c, a) for c, a in col_aggs])
         # pyarrow names aggregated columns "<col>_<agg>"; restore the
         # input names so the combine is idempotent (sum-of-sums,
@@ -49,88 +47,84 @@ def tree_sum(ds, keys: list, sum_cols: list, *, fanout: int = 32):
     return tree_agg(ds, keys, [(c, "sum") for c in sum_cols], fanout=fanout)
 
 
-def sorted_sum(ds, keys: list, sum_cols: list):
-    """Distributed sum-by-key for UNBOUNDED key cardinality with many
-    tiny groups.
-
-    ``ds.groupby(keys).aggregate(Sum)`` pays a per-group finalization
-    cost that dominates when groups are small (372k 1-row groups took
-    7+ s on this host); ``tree_sum`` ends in a single-block combine that
-    caps at one worker's memory. This does neither:
-
-    1. ``sort(keys)`` — Ray's range shuffle (fast; 0.2 s for the same
-       input), leaving each key on one block EXCEPT keys that straddle
-       a block boundary;
-    2. per-block combine with Arrow's C++ ``Table.group_by`` (no
-       per-group Python);
-    3. boundary residue: the first/last key of every block (2 x blocks
-       rows, driver-side) identifies possible straddlers; their rows —
-       bounded by blocks x straddling keys, not by data size — are
-       re-combined on one small block and unioned back.
-
-    Every step's driver/materialized footprint is O(blocks), never
-    O(rows): the 100-TB-safe shape for pair dedup and other
-    high-cardinality sums.
-    """
+def group_runs(batch: pa.Table, keys: list):
+    """(starts, ends) index arrays of the key runs in a keys-sorted
+    table — the vectorized replacement for per-group dispatch."""
     import numpy as np
 
-    combine = _make_combine(keys, [(c, "sum") for c in sum_cols])
-    blocks = (ds.sort(keys)
-                .map_batches(combine, batch_size=None,
-                             batch_format="pyarrow")
-                .materialize())
+    n = batch.num_rows
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in keys:
+        c = batch.column(k).to_numpy()
+        change[1:] |= c[1:] != c[:-1]
+    starts = np.flatnonzero(change).astype(np.int64)
+    ends = np.append(starts[1:], n).astype(np.int64)
+    return starts, ends
 
-    def edges(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return batch.select(keys)
-        return pa.concat_tables(
-            [batch.slice(0, 1), batch.slice(len(batch) - 1, 1)]
-        ).select(keys)
 
-    edge_batches = list(blocks.map_batches(
-        edges, batch_size=None, batch_format="pyarrow").iter_batches(
-            batch_size=None, batch_format="pyarrow"))
-    if not edge_batches:
-        return blocks
-    edge_rows = pa.concat_tables(edge_batches)
-    if edge_rows.num_rows == 0:
-        return blocks
-    cols = [edge_rows.column(k).to_numpy() for k in keys]
-    seen: dict = {}
-    straddlers: set = set()
-    for row in zip(*cols):
-        if row in seen:
-            straddlers.add(row)
-        seen[row] = True
-    # (a single-key block lists the same key as both edges — harmlessly
-    # over-approximates; the residue combine is idempotent)
-    if not straddlers:
-        return blocks
+def sorted_map_groups(ds, keys: list, block_fn):
+    """Distributed groupby().map_groups() without Ray's per-group
+    dispatch cost (which dominates for many tiny groups: 30-100 us of
+    slicing/format conversion per group vs sub-us of useful work).
 
-    strad = [np.array([r[d] for r in straddlers])
-             for d in range(len(keys))]
+    1. ``sort(keys)`` — Ray's range shuffle (fast), leaving every key
+       on one block EXCEPT keys straddling a block boundary;
+    2. ``block_fn`` runs once per BLOCK on a keys-sorted table whose
+       groups are all complete (straddler rows removed) — it processes
+       every group in the block vectorized (see :func:`group_runs`);
+    3. boundary residue: the first/last key of each block (2 x blocks
+       rows, driver-side) over-approximates the straddler set; their
+       rows — bounded by blocks x per-group size, never O(data) — are
+       re-sorted on one small block and fed through the same
+       ``block_fn``.
 
-    def _mask(batch: pa.Table) -> "np.ndarray":
-        m = np.zeros(len(batch), dtype=bool)
-        bc = [batch.column(k).to_numpy() for k in keys]
-        for row in zip(*strad):
-            mm = bc[0] == row[0]
-            for d in range(1, len(keys)):
-                mm &= bc[d] == row[d]
-            m |= mm
-        return m
+    Every driver-side/materialized footprint is O(blocks): the
+    100-TB-safe shape for bucket-pair emission and high-cardinality
+    combines.
+    """
+    blocks = ds.sort(keys).materialize()
 
-    def keep_main(batch: pa.Table) -> pa.Table:
-        return batch.filter(pa.array(~_mask(batch)))
+    # A group can only straddle a block boundary through a block's FIRST
+    # or LAST key run, so those runs are deferred wholesale to a bounded
+    # residue block (2 runs x blocks rows at most, re-sorted there so
+    # split runs rejoin); interior runs are complete by construction and
+    # processed in place. Purely block-local decisions — no driver-side
+    # key collection.
+    def interior(batch: pa.Table) -> pa.Table:
+        starts, ends = group_runs(batch, keys)
+        if len(starts) <= 2:
+            return block_fn(batch.slice(0, 0))
+        return block_fn(batch.slice(ends[0], starts[-1] - ends[0]))
 
-    def keep_residue(batch: pa.Table) -> pa.Table:
-        return batch.filter(pa.array(_mask(batch)))
+    def edge_runs(batch: pa.Table) -> pa.Table:
+        starts, ends = group_runs(batch, keys)
+        if len(starts) <= 1:
+            return batch
+        return pa.concat_tables([
+            batch.slice(0, ends[0]),
+            batch.slice(starts[-1], batch.num_rows - starts[-1])])
 
-    main = blocks.map_batches(keep_main, batch_size=None,
+    def residue_fn(batch: pa.Table) -> pa.Table:
+        return block_fn(batch.sort_by([(k, "ascending") for k in keys]))
+
+    main = blocks.map_batches(interior, batch_size=None,
                               batch_format="pyarrow")
-    residue = (blocks.map_batches(keep_residue, batch_size=None,
+    residue = (blocks.map_batches(edge_runs, batch_size=None,
                                   batch_format="pyarrow")
                .repartition(1)
-               .map_batches(combine, batch_size=None,
+               .map_batches(residue_fn, batch_size=None,
                             batch_format="pyarrow"))
     return main.union(residue)
+
+
+def sorted_sum(ds, keys: list, sum_cols: list):
+    """Distributed sum-by-key for UNBOUNDED key cardinality with many
+    tiny groups: :func:`sorted_map_groups` with Arrow's C++
+    ``Table.group_by`` as the per-block combine (no per-group Python,
+    no single-block combine; 372k 1-row groups: 16 s with
+    ``ds.groupby().aggregate(Sum)`` -> 0.5 s here)."""
+    combine = _make_combine(keys, [(c, "sum") for c in sum_cols])
+    return sorted_map_groups(ds, keys, combine)

@@ -83,8 +83,22 @@ def ngram_jaccard_pairs(docs_ds, *, id_col: str = "doc_id",
     rows = docs_ds.map_batches(shingle_rows, batch_format="pyarrow",
                                fn_kwargs={"id_col": id_col,
                                           "text_col": text_col, "n": n})
-    emitted = rows.groupby("sh").map_groups(_emit_pairs_and_sizes(max_df),
-                                            batch_format="pyarrow")
+    from .agg import group_runs, sorted_map_groups
+
+    per_bucket = _emit_pairs_and_sizes(max_df)
+
+    def emit_block(batch: pa.Table) -> pa.Table:
+        starts, ends = group_runs(batch, ["sh"])
+        outs = [per_bucket(batch.slice(s, e - s))
+                for s, e in zip(starts, ends)]
+        outs = [o for o in outs if o.num_rows]
+        if not outs:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.concat_tables(outs)
+
+    emitted = sorted_map_groups(rows, ["sh"], emit_block)
     counts = tree_sum(emitted, ["doc_a", "doc_b"], ["n"]).materialize()
 
     # post-filter shingle-set sizes: the sentinel rows (doc, -1) of the
@@ -202,6 +216,39 @@ def _lsh_candidates(group: pa.Table) -> pa.Table:
     })
 
 
+def _lsh_candidates_block(batch: pa.Table) -> pa.Table:
+    """Run-vectorized :func:`_lsh_candidates` over a (band, key)-sorted
+    block: one numpy pass finds the bucket runs, a small loop over runs
+    (not one Ray dispatch per bucket) emits the pairs. Identical
+    per-bucket semantics: row-count cap, unique ids, triu pairs."""
+    from .agg import group_runs
+
+    did = batch.column("doc_id").to_numpy()
+    starts, ends = group_runs(batch, ["band", "key"])
+    out_a, out_b = [], []
+    for s, e in zip(starts, ends):
+        if e - s > LSH_MAX_BUCKET or e - s < 2:
+            continue
+        ids = np.unique(did[s:e])
+        m = len(ids)
+        if m < 2:
+            continue
+        ai, bi = np.triu_indices(m, 1)
+        out_a.append(ids[ai])
+        out_b.append(ids[bi])
+    if not out_a:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    da = np.concatenate(out_a).astype(np.int64)
+    db = np.concatenate(out_b).astype(np.int64)
+    return pa.table({
+        "doc_a": pa.array(da),
+        "doc_b": pa.array(db),
+        "n": pa.array(np.ones(len(da), dtype=np.int64)),
+    })
+
+
 # above this many docs the signature table stops being broadcastable
 # and est_sim recovery switches to distributed hash joins
 SIG_BROADCAST_MAX_DOCS = 2_000_000  # ~2 GB of signatures
@@ -262,8 +309,10 @@ def minhash_lsh_pairs(docs_ds, *, id_col: str = "doc_id",
                    "k": k}).materialize()
     band_r = sigs.map_batches(_band_rows(bands, k // bands),
                               batch_format="pyarrow")
-    cand = band_r.groupby(["band", "key"]).map_groups(
-        _lsh_candidates, batch_format="pyarrow")
+    from .agg import sorted_map_groups
+
+    cand = sorted_map_groups(band_r, ["band", "key"],
+                             _lsh_candidates_block)
     # cross-band pair dedup. Default "groupby" is a distributed range
     # shuffle (sorted_sum: sort + per-block Arrow combine + bounded
     # boundary residue) — safe for UNBOUNDED pair cardinality (the
@@ -406,8 +455,20 @@ def simhash_pairs(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
     rows = docs_ds.map_batches(simhash_rows, batch_format="pyarrow",
                                fn_kwargs={"id_col": id_col,
                                           "text_col": text_col})
-    pairs = rows.groupby(["block", "key"]).map_groups(
-        _simhash_pairs(max_hamming), batch_format="pyarrow")
-    from .agg import tree_agg
+    from .agg import group_runs, sorted_map_groups, tree_agg
 
+    per_group = _simhash_pairs(max_hamming)
+
+    def pairs_block(batch: pa.Table) -> pa.Table:
+        starts, ends = group_runs(batch, ["block", "key"])
+        outs = [per_group(batch.slice(s, e - s))
+                for s, e in zip(starts, ends)]
+        outs = [o for o in outs if o.num_rows]
+        if not outs:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        return pa.concat_tables(outs)
+
+    pairs = sorted_map_groups(rows, ["block", "key"], pairs_block)
     return tree_agg(pairs, ["doc_a", "doc_b"], [("hamming", "min")])

@@ -8,8 +8,10 @@ Layout
 ------
 - ``karta_ray.kernels``   — stateless vectorized numpy/Arrow kernels
   (geodesy, predicates, tiles, hulls, nearest-point, raster math).
-- ``karta_ray.crs``       — the three supported CRSs (Cartesian,
-  SphericalEarth, LonLatWGS84), matching karta/crs.py semantics.
+- ``karta_ray.crs``       — the supported CRSs (Cartesian,
+  SphericalEarth, LonLatWGS84, WebMercator, UPS/NSIDC polar
+  stereographic, Lambert/Gall-Peters equal-area) with proj4/WKT
+  serialization, matching karta/crs.py semantics.
 - ``karta_ray.stages``    — Ray Data stage builders (map_batches fns,
   actor-pool classes, groupby aggregates).
 - ``karta_ray.pipelines`` — end-to-end pipelines + checkpoint manifest.

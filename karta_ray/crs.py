@@ -1,8 +1,8 @@
 """Coordinate reference systems.
 
-The engine supports exactly the three CRS families exercised by the
-reference test suite (karta/crs.py:160-246, 353-356), implemented with
-self-contained numpy kernels (no pyproj):
+The CRS families exercised by the reference test suite
+(karta/crs.py:160-298, 353-394), implemented with self-contained numpy
+kernels (no pyproj):
 
 - ``Cartesian``      — planar; identity projection
   (karta/crs.py:160-202)
@@ -10,6 +10,14 @@ self-contained numpy kernels (no pyproj):
   (pyproj "+ellps=sphere"; karta/crs.py:353-354)
 - ``LonLatWGS84``    — lon/lat on the WGS84 ellipsoid, geodesics via the
   Karney solver (karta/crs.py:355, karta/geodesy.py:310-635)
+- projected CRSs with closed-form math (planar predicates, ellipsoidal
+  forward/inverse): ``WebMercator``, ``UPSNorth/South``,
+  ``NSIDCNorth/South`` (polar stereographic), ``LambertEqualArea``,
+  ``GallPetersEqualArea`` (karta/crs.py:358-394)
+
+Serialization: each registry CRS carries closed-form proj.4 and WKT1
+strings (``get_proj4``/``get_wkt``); ``crs_from_proj4``/``crs_from_wkt``
+resolve back to registry instances (reference crs.py:128-159, 334-347).
 
 All azimuths are degrees clockwise from north, normalized to [-180, 180)
 for geographical CRSs per karta/crs.py:228-239.

@@ -204,3 +204,40 @@ def test_sessionize_segments_match_brute(ts_raw, n_users):
     assert (rebuilt == u).all()
     assert len(starts) == len(np.unique(u))
 
+
+
+class TestTiffCodecProperties:
+    """Compression codecs must round-trip arbitrary byte streams."""
+
+    @given(st.binary(min_size=0, max_size=4000))
+    @settings(max_examples=150, deadline=None)
+    def test_lzw_round_trip(self, data):
+        from karta_ray.sources import geotiff as GT
+        assert GT._lzw_decode(GT._lzw_encode(data), len(data)) == data
+
+    @given(st.binary(min_size=0, max_size=4000))
+    @settings(max_examples=150, deadline=None)
+    def test_packbits_round_trip(self, data):
+        from karta_ray.sources import geotiff as GT
+        enc = GT._packbits_encode(data)
+        assert GT._packbits_decode(enc, len(data)) == data
+
+    @given(st.binary(min_size=1, max_size=2000))
+    @settings(max_examples=50, deadline=None)
+    def test_packbits_never_expands_much(self, data):
+        # worst case for PackBits is 1 extra byte per 128 literals
+        from karta_ray.sources import geotiff as GT
+        assert len(GT._packbits_encode(data)) <= len(data) + \
+            (len(data) + 127) // 128
+
+
+class TestShingleBatchProperties:
+    @given(st.lists(st.text(max_size=40), max_size=25))
+    @settings(max_examples=60, deadline=None)
+    def test_char_shingles_batch_equals_scalar(self, texts):
+        import numpy as np
+
+        from karta_ray.functions import text as T
+        got = T.char_shingles_batch(texts, 3)
+        for t, g in zip(texts, got):
+            assert np.array_equal(g, T.char_shingles(t, 3))

@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="only for local runs; under `ray job submit` the "
                          "cluster is already up and this is ignored")
+    ap.add_argument("--shards", type=int, default=0,
+                    help="also write the aggregate through the "
+                         "shard-level resumable sink (stages/sink.py) "
+                         "partitioned by cell_id into this many hash "
+                         "shards; re-runs skip complete shards")
     args = ap.parse_args()
 
     import ray
@@ -48,6 +53,18 @@ def main():
     t0 = time.perf_counter()
     agg, pipe = flagship_checkpointed(args.pages, args.out, zoom=args.zoom)
     rows = agg.count()
+    shard_summary = None
+    if args.shards:
+        from karta_ray.stages.sink import resumable_parquet_sink
+
+        metrics = resumable_parquet_sink(
+            agg, os.path.join(args.out, "aggregate_shards"),
+            by="cell_id", shards=args.shards).to_pandas()
+        shard_summary = {
+            "shards_written": int((~metrics.skipped).sum()),
+            "shards_resumed": int(metrics.skipped.sum()),
+            "rows": int(metrics.rows.sum()),
+        }
     summary = {
         "ok": True,
         "wall_s": round(time.perf_counter() - t0, 2),
@@ -59,6 +76,8 @@ def main():
                    if pipe.read_manifest(s)},
         "out": args.out,
     }
+    if shard_summary is not None:
+        summary["sharded_sink"] = shard_summary
     print(json.dumps(summary))
     ray.shutdown()
 

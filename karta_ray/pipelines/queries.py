@@ -456,10 +456,13 @@ def q_dedup_exact(sf_dir: str):
                          "n_copies": pa.array(
                              np.ones(batch.num_rows, dtype=np.int64))})
 
+    from ..stages.agg import sorted_agg
+
     hashed = ds.map_batches(digest, batch_format="pyarrow")
-    agg = hashed.groupby("digest").aggregate(
-        ray.data.aggregate.Min("doc_id"), ray.data.aggregate.Sum("n_copies"))
-    agg = agg.rename_columns(["digest", "doc_id", "n_copies"])
+    # unbounded digest domain -> sorted_agg (range shuffle + per-block
+    # C++ combine), not ray.data.groupby's per-tiny-group aggregate
+    agg = sorted_agg(hashed, ["digest"],
+                     [("doc_id", "min"), ("n_copies", "sum")])
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({

@@ -120,11 +120,16 @@ def sorted_map_groups(ds, keys: list, block_fn):
     return main.union(residue)
 
 
-def sorted_sum(ds, keys: list, sum_cols: list):
-    """Distributed sum-by-key for UNBOUNDED key cardinality with many
-    tiny groups: :func:`sorted_map_groups` with Arrow's C++
+def sorted_agg(ds, keys: list, col_aggs: list):
+    """Distributed aggregate-by-key for UNBOUNDED key cardinality with
+    many tiny groups: :func:`sorted_map_groups` with Arrow's C++
     ``Table.group_by`` as the per-block combine (no per-group Python,
     no single-block combine; 372k 1-row groups: 16 s with
-    ``ds.groupby().aggregate(Sum)`` -> 0.5 s here)."""
-    combine = _make_combine(keys, [(c, "sum") for c in sum_cols])
-    return sorted_map_groups(ds, keys, combine)
+    ``ds.groupby().aggregate(Sum)`` -> 0.5 s here). Aggregations must
+    be associative (sum/min/max)."""
+    return sorted_map_groups(ds, keys, _make_combine(keys, col_aggs))
+
+
+def sorted_sum(ds, keys: list, sum_cols: list):
+    """:func:`sorted_agg` specialization: every column summed."""
+    return sorted_agg(ds, keys, [(c, "sum") for c in sum_cols])

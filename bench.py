@@ -67,6 +67,9 @@ def warmup():
 
     (ray.data.range(NUM_CPUS * 16, override_num_blocks=NUM_CPUS * 16)
         .map_batches(touch, batch_size=1).materialize())
+    # first sort in a session initializes the shuffle infrastructure
+    # (~4 s measured); pay it here, not inside a timed query
+    ray.data.range(1000, override_num_blocks=8).sort("id").materialize()
 
 
 def run_headline(pages_dir: str, reps: int = 3) -> dict:

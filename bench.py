@@ -202,11 +202,16 @@ def ab_main(rev: str, reps: int = 5):
     ray.shutdown()
 
     here = os.path.dirname(os.path.abspath(__file__))
-    wt = f"/tmp/karta_ray_ab/{rev}"
+    # key the worktree cache by the RESOLVED sha so a moved branch/ref
+    # never silently reuses a stale checkout
+    sha = subprocess.run(["git", "-C", here, "rev-parse", rev],
+                         check=True, capture_output=True,
+                         text=True).stdout.strip()
+    wt = f"/tmp/karta_ray_ab/{sha}"
     if not os.path.isdir(wt):
         os.makedirs(os.path.dirname(wt), exist_ok=True)
         subprocess.run(["git", "-C", here, "worktree", "add", "--detach",
-                        "--force", wt, rev], check=True,
+                        "--force", wt, sha], check=True,
                        capture_output=True, text=True)
 
     times = {"a": [], "b": []}

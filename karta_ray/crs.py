@@ -440,7 +440,7 @@ def crs_from_wkt(wkt: str) -> CRS:
 
     def params():
         return {m.group(1): float(m.group(2)) for m in re.finditer(
-            r'PARAMETER\["([^"]+)",([-0-9.eE]+)\]', wkt)}
+            r'PARAMETER\["([^"]+)",([-+0-9.eE]+)\]', wkt)}
 
     m = re.search(r'PROJECTION\["([^"]+)"\]', wkt)
     if m is None:

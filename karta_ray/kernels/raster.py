@@ -94,8 +94,9 @@ def data_mask(values, nodata=np.nan):
     valid only where ALL bands hold data (reference ``data_mask`` /
     ``data_mask_full``, karta/raster/grid.py:464-477)."""
     v = np.asarray(values)
-    m = ~np.isnan(v) if (isinstance(nodata, float) and np.isnan(nodata)) \
-        else v != nodata
+    nodata_is_nan = isinstance(nodata, (float, np.floating)) \
+        and np.isnan(nodata)
+    m = ~np.isnan(v) if nodata_is_nan else v != nodata
     if v.ndim == 3:
         m = np.all(m, axis=0)
     return m

@@ -27,6 +27,23 @@ hash/bit arithmetic:
   ``isleft``, so the comparisons agree bit for bit.
 - ann_ivf      — exact-mode twin (nprobe=None probes every cluster),
   so the brute-force ann_topk ranking SQL applies unchanged.
+
+Known fixture-level assumptions (latent, not exercised by the
+deterministic testdata, documented for honesty):
+
+- minhash_lsh / simhash SQL omit degenerate documents the engine
+  handles (texts shorter than the shingle width take the engine's
+  md5-fallback shingle; token-less texts get simhash signature 0);
+  the fixture corpus has min text length 47 and no blank docs.
+- kmeans: the engine's argmin uses the ||x||^2 - 2x.c + ||c||^2
+  expansion while the SQL sums (x_i - c_i)^2 in dimension order;
+  a vector equidistant from two centroids to within float rounding
+  could be labeled differently. The fixtures are deterministic and
+  contain no such tie.
+- convex_hull: the engine's Graham scan and the SQL's all-pairs
+  strict-left test evaluate different cross-product triples; exactly
+  collinear triples within 1 ulp could diverge. The derived point set
+  has no such degeneracy.
 """
 
 from __future__ import annotations

@@ -295,8 +295,12 @@ def q_geotiff_grid(sf_dir: str):
     grid[cells.column("gj").to_numpy(),
          cells.column("gi").to_numpy()] = cells.column("n").to_numpy()
 
-    path = os.path.join(tempfile.gettempdir(),
-                        f"karta_ray_geotiff_grid_{os.getpid()}.tif")
+    # unique per call: a second invocation in the same driver must not
+    # overwrite the file while an earlier (lazy) returned Dataset still
+    # has decode tasks pending against it
+    fd, path = tempfile.mkstemp(prefix="karta_ray_geotiff_grid_",
+                                suffix=".tif")
+    os.close(fd)
     write_geotiff(path, grid, (-180.0, -80.0, 1.0, 1.0, 0.0, 0.0),
                   crs="lonlat_wgs84", compress="deflate",
                   rows_per_strip=16, nodata=0)

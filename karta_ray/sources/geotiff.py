@@ -736,7 +736,11 @@ def read_geotiff_dataset(path: str, *, grid_id=0, band=0,
                     i0 = ny - (r0 + h)  # south-up row of block bottom
                     rows["grid_id"].append(grid_id)
                     rows["band"].append(band)
-                    rows["tile_i"].append(i0 // max(ch, 1))
+                    # tile ids come from the file's own chunk grid
+                    # (north-down chunk row/col) — unique per record
+                    # even when ny % chunk_h != 0; geometry travels in
+                    # i0/j0
+                    rows["tile_i"].append(r0 // max(ch, 1))
                     rows["tile_j"].append(j0 // max(cw, 1))
                     rows["i0"].append(i0)
                     rows["j0"].append(j0)

@@ -65,7 +65,8 @@ def group_runs(batch: pa.Table, keys: list):
     return starts, ends
 
 
-def sorted_map_groups(ds, keys: list, block_fn):
+def sorted_map_groups(ds, keys: list, block_fn, *, pre_reduce=None,
+                      max_group_rows=None):
     """Distributed groupby().map_groups() without Ray's per-group
     dispatch cost (which dominates for many tiny groups: 30-100 us of
     slicing/format conversion per group vs sub-us of useful work).
@@ -75,24 +76,34 @@ def sorted_map_groups(ds, keys: list, block_fn):
     2. ``block_fn`` runs once per BLOCK on a keys-sorted table whose
        groups are all complete (straddler rows removed) — it processes
        every group in the block vectorized (see :func:`group_runs`);
-    3. boundary residue: the first/last key of each block (2 x blocks
-       rows, driver-side) over-approximates the straddler set; their
-       rows — bounded by blocks x per-group size, never O(data) — are
-       re-sorted on one small block and fed through the same
-       ``block_fn``.
+    3. boundary residue: each block's FIRST and LAST key run is
+       deferred to one residue block and re-fed through ``block_fn``.
 
-    Every driver-side/materialized footprint is O(blocks): the
-    100-TB-safe shape for bucket-pair emission and high-cardinality
-    combines.
+    The residue is only bounded if hot keys cannot export whole blocks
+    into it; callers must say which escape applies:
+
+    - ``pre_reduce`` (associative aggregates): applied to each block's
+      edge runs BEFORE export, collapsing them to one row per (key,
+      block) — residue <= 2 rows x blocks regardless of skew. Must be
+      idempotent with ``block_fn`` (sum-of-sums, min-of-mins).
+    - ``max_group_rows`` (capped bucket consumers, e.g. LSH buckets
+      that drop groups above a size cap): an edge run with MORE than
+      this many rows implies its global group exceeds the cap, so it is
+      dropped block-locally instead of exported — residue <= 2 x cap x
+      blocks. ``block_fn`` still applies its own cap to the
+      re-assembled residue groups, so semantics are unchanged.
+
+    With neither escape, a hot key that fills whole blocks lands on the
+    single residue block (O(data) worst case) — fine for bounded key
+    domains, wrong for corpus-scale skew.
     """
     blocks = ds.sort(keys).materialize()
 
     # A group can only straddle a block boundary through a block's FIRST
-    # or LAST key run, so those runs are deferred wholesale to a bounded
-    # residue block (2 runs x blocks rows at most, re-sorted there so
-    # split runs rejoin); interior runs are complete by construction and
-    # processed in place. Purely block-local decisions — no driver-side
-    # key collection.
+    # or LAST key run, so those runs are deferred wholesale to the
+    # residue (re-sorted there so split runs rejoin); interior runs are
+    # complete by construction and processed in place. Purely
+    # block-local decisions — no driver-side key collection.
     def interior(batch: pa.Table) -> pa.Table:
         starts, ends = group_runs(batch, keys)
         if len(starts) <= 2:
@@ -102,10 +113,19 @@ def sorted_map_groups(ds, keys: list, block_fn):
     def edge_runs(batch: pa.Table) -> pa.Table:
         starts, ends = group_runs(batch, keys)
         if len(starts) <= 1:
-            return batch
-        return pa.concat_tables([
-            batch.slice(0, ends[0]),
-            batch.slice(starts[-1], batch.num_rows - starts[-1])])
+            out = batch
+        else:
+            out = pa.concat_tables([
+                batch.slice(0, ends[0]),
+                batch.slice(starts[-1], batch.num_rows - starts[-1])])
+        if max_group_rows is not None and out.num_rows:
+            s2, e2 = group_runs(out, keys)
+            keep = [out.slice(s, e - s) for s, e in zip(s2, e2)
+                    if e - s <= max_group_rows]
+            out = (pa.concat_tables(keep) if keep else out.slice(0, 0))
+        if pre_reduce is not None:
+            out = pre_reduce(out)
+        return out
 
     def residue_fn(batch: pa.Table) -> pa.Table:
         return block_fn(batch.sort_by([(k, "ascending") for k in keys]))
@@ -127,7 +147,10 @@ def sorted_agg(ds, keys: list, col_aggs: list):
     no single-block combine; 372k 1-row groups: 16 s with
     ``ds.groupby().aggregate(Sum)`` -> 0.5 s here). Aggregations must
     be associative (sum/min/max)."""
-    return sorted_map_groups(ds, keys, _make_combine(keys, col_aggs))
+    combine = _make_combine(keys, col_aggs)
+    # pre_reduce collapses each block's edge runs to one row per key
+    # before export, so hot keys cannot flood the residue block
+    return sorted_map_groups(ds, keys, combine, pre_reduce=combine)
 
 
 def sorted_sum(ds, keys: list, sum_cols: list):

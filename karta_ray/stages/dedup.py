@@ -98,7 +98,8 @@ def ngram_jaccard_pairs(docs_ds, *, id_col: str = "doc_id",
                              "n": pa.array([], pa.int64())})
         return pa.concat_tables(outs)
 
-    emitted = sorted_map_groups(rows, ["sh"], emit_block)
+    emitted = sorted_map_groups(rows, ["sh"], emit_block,
+                                max_group_rows=max_df)
     counts = tree_sum(emitted, ["doc_a", "doc_b"], ["n"]).materialize()
 
     # post-filter shingle-set sizes: the sentinel rows (doc, -1) of the
@@ -312,7 +313,8 @@ def minhash_lsh_pairs(docs_ds, *, id_col: str = "doc_id",
     from .agg import sorted_map_groups
 
     cand = sorted_map_groups(band_r, ["band", "key"],
-                             _lsh_candidates_block)
+                             _lsh_candidates_block,
+                             max_group_rows=LSH_MAX_BUCKET)
     # cross-band pair dedup. Default "groupby" is a distributed range
     # shuffle (sorted_sum: sort + per-block Arrow combine + bounded
     # boundary residue) — safe for UNBOUNDED pair cardinality (the
@@ -470,5 +472,6 @@ def simhash_pairs(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
                              "hamming": pa.array([], pa.int64())})
         return pa.concat_tables(outs)
 
-    pairs = sorted_map_groups(rows, ["block", "key"], pairs_block)
+    pairs = sorted_map_groups(rows, ["block", "key"], pairs_block,
+                              max_group_rows=SIMHASH_MAX_BUCKET)
     return tree_agg(pairs, ["doc_a", "doc_b"], [("hamming", "min")])

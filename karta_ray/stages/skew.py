@@ -57,21 +57,30 @@ def detect_hot_keys(ds, key_col: str, *, sample_fraction: float = 0.05,
         return (hot[key_col].to_numpy(),
                 dict(zip(counts[key_col], counts["n"])))
 
-    # unbounded keys: distributed hash/sort groupby (handles any key
-    # cardinality), then a distributed threshold filter; only the
+    # unbounded keys: distributed per-key count via sorted_agg (range
+    # shuffle + per-block Arrow combine — no per-tiny-group
+    # finalization), then a distributed threshold filter; only the
     # (bounded) survivors are collected
-    counts = sample.groupby(key_col).count().materialize()
-    total = counts.sum("count()") or 0
+    from .agg import sorted_sum
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table({key_col: batch.column(key_col),
+                         "n": pa.array(np.ones(batch.num_rows,
+                                               dtype=np.int64))})
+
+    counts = sorted_sum(sample.map_batches(ones, batch_format="pyarrow"),
+                        [key_col], ["n"]).materialize()
+    total = counts.sum("n") or 0
     if total == 0:
         return np.empty(0, dtype=np.int64), {}
     thresh = max(hot_fraction * total, min_rows * sample_fraction)
 
     def over_threshold(batch: pa.Table) -> pa.Table:
-        n = batch.column("count()").to_numpy()
+        n = batch.column("n").to_numpy()
         keep = np.nonzero(n >= thresh)[0]
         t = batch.take(pa.array(keep, pa.int64()))
         return pa.table({key_col: t.column(key_col),
-                         "n": pc.cast(t.column("count()"), pa.int64())})
+                         "n": pc.cast(t.column("n"), pa.int64())})
 
     survivors = counts.map_batches(over_threshold,
                                    batch_format="pyarrow").to_pandas()

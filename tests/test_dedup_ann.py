@@ -546,3 +546,64 @@ class TestPropsRegexParity:
         got = pc.cast(pc.struct_field(m, "k"), pa.int64()).to_pylist()
         want = [int(json.loads(p)["k"]) for p in props.to_pylist()]
         assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSortedMapGroupsSkew:
+    """Hot keys must not flood the residue block: pre_reduce collapses
+    aggregate edge runs, max_group_rows early-drops over-cap buckets —
+    and neither may change semantics."""
+
+    def test_hot_key_aggregate_still_exact(self):
+        import pandas as pd
+        import ray.data
+
+        from karta_ray.stages.agg import sorted_sum
+
+        # one key holds 90% of rows and spans every block
+        n = 30000
+        rng = np.random.RandomState(7)
+        k = np.where(rng.rand(n) < 0.9, 0,
+                     rng.randint(1, 50, size=n)).astype(np.int64)
+        v = rng.randint(1, 4, size=n).astype(np.int64)
+        ds = ray.data.from_arrow(pa.table({"k": pa.array(k),
+                                           "n": pa.array(v)}))
+        got = sorted_sum(ds.repartition(16), ["k"], ["n"]).to_pandas()
+        got = got.sort_values("k").reset_index(drop=True)
+        want = (pd.DataFrame({"k": k, "n": v}).groupby("k", as_index=False)
+                .n.sum().sort_values("k").reset_index(drop=True))
+        assert got.k.tolist() == want.k.tolist()
+        assert got.n.tolist() == want.n.tolist()
+
+    def test_max_group_rows_drops_like_the_cap(self):
+        import ray.data
+
+        from karta_ray.stages.agg import group_runs, sorted_map_groups
+
+        CAP = 100
+        # key 0: 2500 rows (over cap, spans blocks); keys 1..20: small
+        k = np.concatenate([np.zeros(2500, dtype=np.int64),
+                            np.repeat(np.arange(1, 21), 10)])
+        rng = np.random.RandomState(0)
+        rng.shuffle(k)
+        ds = ray.data.from_arrow(pa.table({"k": pa.array(k)})) \
+            .repartition(8)
+
+        def block_fn(batch: pa.Table) -> pa.Table:
+            starts, ends = group_runs(batch, ["k"])
+            ks, ns = [], []
+            col = batch.column("k").to_numpy() if batch.num_rows else []
+            for s, e in zip(starts, ends):
+                if e - s > CAP:
+                    continue
+                ks.append(int(col[s]))
+                ns.append(int(e - s))
+            return pa.table({"k": pa.array(ks, pa.int64()),
+                             "cnt": pa.array(ns, pa.int64())})
+
+        got = sorted_map_groups(ds, ["k"], block_fn,
+                                max_group_rows=CAP).to_pandas()
+        got = got.sort_values("k").reset_index(drop=True)
+        # key 0 dropped (over cap); every other key counted exactly once
+        assert got.k.tolist() == list(range(1, 21))
+        assert (got.cnt == 10).all()

@@ -277,3 +277,76 @@ class TestRayDataset:
         out, transform = grid_from_tiles(tbl, shape=v.shape)
         assert np.array_equal(out, v)
         assert np.allclose(transform, TRANSFORM)
+
+
+class TestPlanarConfig2:
+    """PlanarConfiguration=2 (separate planes) decoding — our writer
+    emits chunky (=1), so this fixture is assembled by hand per the
+    TIFF 6.0 spec: 2 samples/px, one strip per plane."""
+
+    def test_hand_built_planar2(self, tmp_path):
+        e = "<"
+        # 2x3 image, 2 samples: plane0 = 0..5, plane1 = 100..105
+        p0 = bytes(range(6))
+        p1 = bytes(range(100, 106))
+        entries = []
+
+        def entry(tag, ftype, count, vb):
+            entries.append((tag, ftype, count, vb))
+
+        n_entries = 9
+        ifd_end = 8 + 2 + 12 * n_entries + 4
+        # out-of-line arrays for offsets/counts (2 strips)
+        so_off = ifd_end
+        co_off = so_off + 8
+        data_off = co_off + 8
+        entry(256, 3, 1, struct.pack(e + "HH", 3, 0))
+        entry(257, 3, 1, struct.pack(e + "HH", 2, 0))
+        entry(258, 3, 2, struct.pack(e + "HH", 8, 8))
+        entry(259, 3, 1, struct.pack(e + "HH", 1, 0))
+        entry(262, 3, 1, struct.pack(e + "HH", 1, 0))
+        entry(277, 3, 1, struct.pack(e + "HH", 2, 0))
+        entry(278, 3, 1, struct.pack(e + "HH", 2, 0))
+        entry(273, 4, 2, struct.pack(e + "I", so_off))
+        entry(284, 3, 1, struct.pack(e + "HH", 2, 0))
+        # note: strip counts tag replaces nothing -> need 279 too; widen
+        entries.sort()
+        buf = bytearray()
+        buf += b"II" + struct.pack(e + "HI", 42, 8)
+        buf += struct.pack(e + "H", len(entries) + 1)
+        # insert 279 in sorted position manually
+        rows = entries + [(279, 4, 2, struct.pack(e + "I", co_off))]
+        rows.sort()
+        # header count was written for n_entries+1; recompute layout
+        n = len(rows)
+        ifd_end = 8 + 2 + 12 * n + 4
+        so_off = ifd_end
+        co_off = so_off + 8
+        data_off = co_off + 8
+        fixed = []
+        for tag, ftype, count, vb in rows:
+            if tag == 273:
+                vb = struct.pack(e + "I", so_off)
+            if tag == 279:
+                vb = struct.pack(e + "I", co_off)
+            fixed.append((tag, ftype, count, vb))
+        buf = bytearray()
+        buf += b"II" + struct.pack(e + "HI", 42, 8)
+        buf += struct.pack(e + "H", n)
+        for tag, ftype, count, vb in fixed:
+            buf += struct.pack(e + "HHI", tag, ftype, count) + vb
+        buf += struct.pack(e + "I", 0)
+        assert len(buf) == ifd_end
+        buf += struct.pack(e + "II", data_off, data_off + 6)  # offsets
+        buf += struct.pack(e + "II", 6, 6)                    # counts
+        buf += p0 + p1
+
+        p = str(tmp_path / "planar2.tif")
+        with open(p, "wb") as f:
+            f.write(bytes(buf))
+        vals, _t, _nd, _crs = GT.read_geotiff(p)
+        assert vals.shape == (2, 2, 3)
+        expect0 = np.arange(6, dtype=np.uint8).reshape(2, 3)[::-1]
+        expect1 = np.arange(100, 106, dtype=np.uint8).reshape(2, 3)[::-1]
+        assert np.array_equal(vals[0], expect0)
+        assert np.array_equal(vals[1], expect1)

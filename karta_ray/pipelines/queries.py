@@ -297,10 +297,21 @@ def q_geotiff_grid(sf_dir: str):
 
     # unique per call: a second invocation in the same driver must not
     # overwrite the file while an earlier (lazy) returned Dataset still
-    # has decode tasks pending against it
+    # has decode tasks pending against it; deleted at process exit
+    # (deleting sooner could race those pending tasks)
+    import atexit
+
     fd, path = tempfile.mkstemp(prefix="karta_ray_geotiff_grid_",
                                 suffix=".tif")
     os.close(fd)
+
+    def _cleanup(p=path):
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
+
+    atexit.register(_cleanup)
     write_geotiff(path, grid, (-180.0, -80.0, 1.0, 1.0, 0.0, 0.0),
                   crs="lonlat_wgs84", compress="deflate",
                   rows_per_strip=16, nodata=0)
@@ -445,8 +456,6 @@ def q_dedup_exact(sf_dir: str):
     import hashlib
 
     import ray.data
-
-    from ..stages.agg import tree_agg
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"],

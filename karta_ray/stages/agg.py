@@ -65,6 +65,20 @@ def group_runs(batch: pa.Table, keys: list):
     return starts, ends
 
 
+def _truncate_runs(table: pa.Table, keys: list, cap: int) -> pa.Table:
+    """Truncate each key run to ``cap + 1`` rows. An over-cap edge run
+    proves its global group exceeds the cap, but it must be exported as
+    a still-over-cap TOMBSTONE (cap+1 rows) rather than dropped:
+    dropping it would let the group's small fragments from neighboring
+    blocks re-assemble into an under-cap impostor in the residue."""
+    if table.num_rows == 0:
+        return table
+    starts, ends = group_runs(table, keys)
+    keep = [table.slice(s, min(e - s, cap + 1))
+            for s, e in zip(starts, ends)]
+    return pa.concat_tables(keep)
+
+
 def sorted_map_groups(ds, keys: list, block_fn, *, pre_reduce=None,
                       max_group_rows=None):
     """Distributed groupby().map_groups() without Ray's per-group
@@ -89,9 +103,13 @@ def sorted_map_groups(ds, keys: list, block_fn, *, pre_reduce=None,
     - ``max_group_rows`` (capped bucket consumers, e.g. LSH buckets
       that drop groups above a size cap): an edge run with MORE than
       this many rows implies its global group exceeds the cap, so it is
-      dropped block-locally instead of exported — residue <= 2 x cap x
-      blocks. ``block_fn`` still applies its own cap to the
-      re-assembled residue groups, so semantics are unchanged.
+      TRUNCATED to ``max_group_rows + 1`` rows before export — still
+      over the cap, so the residue's ``block_fn`` drops the whole
+      group including any small fragments from neighboring blocks
+      (dropping the big fragment outright would let an under-cap
+      remnant masquerade as a complete group). Residue <= 2 x (cap+1)
+      x blocks rows. ``block_fn`` must treat any group with more than
+      ``max_group_rows`` rows as over-cap.
 
     With neither escape, a hot key that fills whole blocks lands on the
     single residue block (O(data) worst case) — fine for bounded key
@@ -118,11 +136,8 @@ def sorted_map_groups(ds, keys: list, block_fn, *, pre_reduce=None,
             out = pa.concat_tables([
                 batch.slice(0, ends[0]),
                 batch.slice(starts[-1], batch.num_rows - starts[-1])])
-        if max_group_rows is not None and out.num_rows:
-            s2, e2 = group_runs(out, keys)
-            keep = [out.slice(s, e - s) for s, e in zip(s2, e2)
-                    if e - s <= max_group_rows]
-            out = (pa.concat_tables(keep) if keep else out.slice(0, 0))
+        if max_group_rows is not None:
+            out = _truncate_runs(out, keys, max_group_rows)
         if pre_reduce is not None:
             out = pre_reduce(out)
         return out

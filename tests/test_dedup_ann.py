@@ -607,3 +607,76 @@ class TestSortedMapGroupsSkew:
         # key 0 dropped (over cap); every other key counted exactly once
         assert got.k.tolist() == list(range(1, 21))
         assert (got.cnt == 10).all()
+
+    def test_mixed_fragment_straddle_still_dropped(self):
+        # an over-cap group whose boundary fragments are a mix of
+        # over- and under-cap sizes must vanish ENTIRELY (the truncated
+        # tombstone export keeps the residue group above the cap);
+        # under-cap groups must survive exactly
+        import ray.data
+
+        from karta_ray.stages.agg import group_runs, sorted_map_groups
+
+        CAP = 50
+        sizes = {}
+        ks = []
+        kid = 0
+        rng = np.random.RandomState(3)
+        for _ in range(12):
+            # alternate hot (just over cap) and small groups
+            for sz in (CAP + rng.randint(1, 30), rng.randint(1, 20)):
+                sizes[kid] = sz
+                ks.append(np.full(sz, kid, dtype=np.int64))
+                kid += 1
+        k = np.concatenate(ks)
+        rng.shuffle(k)
+        ds = ray.data.from_arrow(pa.table({"k": pa.array(k)})) \
+            .repartition(16)
+
+        def block_fn(batch: pa.Table) -> pa.Table:
+            starts, ends = group_runs(batch, ["k"])
+            col = batch.column("k").to_numpy() if batch.num_rows else []
+            ks_, ns_ = [], []
+            for s, e in zip(starts, ends):
+                if e - s > CAP:
+                    continue
+                ks_.append(int(col[s]))
+                ns_.append(int(e - s))
+            return pa.table({"k": pa.array(ks_, pa.int64()),
+                             "cnt": pa.array(ns_, pa.int64())})
+
+        got = sorted_map_groups(ds, ["k"], block_fn,
+                                max_group_rows=CAP).to_pandas()
+        out = dict(zip(got.k, got.cnt))
+        for kid_, sz in sizes.items():
+            if sz > CAP:
+                assert kid_ not in out, (kid_, sz, out.get(kid_))
+            else:
+                assert out.get(kid_) == sz, (kid_, sz, out.get(kid_))
+        # no key may be double-counted
+        assert not got.k.duplicated().any()
+
+    def test_truncate_runs_tombstone_invariant(self):
+        # the unit-level guarantee behind the e2e test above: an
+        # over-cap edge run is exported as cap+1 rows (still over cap),
+        # NEVER dropped — so a residue group re-assembled from a
+        # truncated big fragment plus a small fragment stays over the
+        # cap and is rejected by block_fn
+        from karta_ray.stages.agg import _truncate_runs, group_runs
+
+        CAP = 50
+        big = pa.table({"k": pa.array(np.full(210, 7, dtype=np.int64))})
+        t = _truncate_runs(big, ["k"], CAP)
+        assert t.num_rows == CAP + 1  # tombstone, not dropped
+        small = pa.table({"k": pa.array(np.full(20, 7, dtype=np.int64))})
+        residue = pa.concat_tables([t, small])
+        starts, ends = group_runs(residue, ["k"])
+        assert len(starts) == 1
+        assert ends[0] - starts[0] > CAP  # block_fn's cap rejects it
+        # under-cap runs pass through untouched
+        mix = pa.table({"k": pa.array(np.concatenate(
+            [np.full(30, 1), np.full(60, 2), np.full(10, 3)])
+            .astype(np.int64))})
+        out = _truncate_runs(mix, ["k"], CAP)
+        s2, e2 = group_runs(out, ["k"])
+        assert [int(e - s) for s, e in zip(s2, e2)] == [30, CAP + 1, 10]

@@ -286,54 +286,31 @@ class TestPlanarConfig2:
 
     def test_hand_built_planar2(self, tmp_path):
         e = "<"
-        # 2x3 image, 2 samples: plane0 = 0..5, plane1 = 100..105
+        # 2x3 image, 2 samples: plane0 = 0..5, plane1 = 100..105,
+        # one strip per plane (strip offsets/counts out-of-line)
         p0 = bytes(range(6))
         p1 = bytes(range(100, 106))
-        entries = []
-
-        def entry(tag, ftype, count, vb):
-            entries.append((tag, ftype, count, vb))
-
-        n_entries = 9
-        ifd_end = 8 + 2 + 12 * n_entries + 4
-        # out-of-line arrays for offsets/counts (2 strips)
-        so_off = ifd_end
-        co_off = so_off + 8
-        data_off = co_off + 8
-        entry(256, 3, 1, struct.pack(e + "HH", 3, 0))
-        entry(257, 3, 1, struct.pack(e + "HH", 2, 0))
-        entry(258, 3, 2, struct.pack(e + "HH", 8, 8))
-        entry(259, 3, 1, struct.pack(e + "HH", 1, 0))
-        entry(262, 3, 1, struct.pack(e + "HH", 1, 0))
-        entry(277, 3, 1, struct.pack(e + "HH", 2, 0))
-        entry(278, 3, 1, struct.pack(e + "HH", 2, 0))
-        entry(273, 4, 2, struct.pack(e + "I", so_off))
-        entry(284, 3, 1, struct.pack(e + "HH", 2, 0))
-        # note: strip counts tag replaces nothing -> need 279 too; widen
-        entries.sort()
-        buf = bytearray()
-        buf += b"II" + struct.pack(e + "HI", 42, 8)
-        buf += struct.pack(e + "H", len(entries) + 1)
-        # insert 279 in sorted position manually
-        rows = entries + [(279, 4, 2, struct.pack(e + "I", co_off))]
-        rows.sort()
-        # header count was written for n_entries+1; recompute layout
-        n = len(rows)
+        n = 10
         ifd_end = 8 + 2 + 12 * n + 4
-        so_off = ifd_end
-        co_off = so_off + 8
+        so_off = ifd_end          # 2-entry strip-offset array
+        co_off = so_off + 8       # 2-entry strip-count array
         data_off = co_off + 8
-        fixed = []
-        for tag, ftype, count, vb in rows:
-            if tag == 273:
-                vb = struct.pack(e + "I", so_off)
-            if tag == 279:
-                vb = struct.pack(e + "I", co_off)
-            fixed.append((tag, ftype, count, vb))
+        rows = sorted([
+            (256, 3, 1, struct.pack(e + "HH", 3, 0)),   # width
+            (257, 3, 1, struct.pack(e + "HH", 2, 0)),   # length
+            (258, 3, 2, struct.pack(e + "HH", 8, 8)),   # bits/sample
+            (259, 3, 1, struct.pack(e + "HH", 1, 0)),   # no compression
+            (262, 3, 1, struct.pack(e + "HH", 1, 0)),   # photometric
+            (273, 4, 2, struct.pack(e + "I", so_off)),  # strip offsets
+            (277, 3, 1, struct.pack(e + "HH", 2, 0)),   # samples/px
+            (278, 3, 1, struct.pack(e + "HH", 2, 0)),   # rows/strip
+            (279, 4, 2, struct.pack(e + "I", co_off)),  # strip counts
+            (284, 3, 1, struct.pack(e + "HH", 2, 0)),   # planar = 2
+        ])
         buf = bytearray()
         buf += b"II" + struct.pack(e + "HI", 42, 8)
         buf += struct.pack(e + "H", n)
-        for tag, ftype, count, vb in fixed:
+        for tag, ftype, count, vb in rows:
             buf += struct.pack(e + "HHI", tag, ftype, count) + vb
         buf += struct.pack(e + "I", 0)
         assert len(buf) == ifd_end

@@ -249,12 +249,17 @@ def simhash64(token_hashes: np.ndarray) -> np.uint64:
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-element Hamming distance of two uint64 arrays — SWAR
+    popcount (Hacker's Delight fig. 5-2), 5 vector ops instead of a
+    64-iteration shift loop."""
     x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
-    cnt = np.zeros(x.shape, dtype=np.int64)
-    for _ in range(64):
-        cnt += (x & np.uint64(1)).astype(np.int64)
-        x = x >> np.uint64(1)
-    return cnt
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = ((x & np.uint64(0x3333333333333333))
+             + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        x = (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+    return x.astype(np.int64)
 
 
 # ---------------------------------------------------------------------------

@@ -680,3 +680,48 @@ class TestSortedMapGroupsSkew:
         out = _truncate_runs(mix, ["k"], CAP)
         s2, e2 = group_runs(out, ["k"])
         assert [int(e - s) for s, e in zip(s2, e2)] == [30, CAP + 1, 10]
+
+    def test_equivalence_with_ray_map_groups(self):
+        # same per-group fn through both engines must yield identical
+        # row multisets, across random key distributions
+        import pandas as pd
+        import ray.data
+
+        from karta_ray.stages.agg import group_runs, sorted_map_groups
+
+        def per_group(ids):
+            ids = np.sort(ids)
+            return ids[0], int(ids.sum())
+
+        def ray_fn(group: pa.Table) -> pa.Table:
+            lo, s = per_group(group.column("v").to_numpy())
+            return pa.table({"k": group.column("k").slice(0, 1),
+                             "lo": pa.array([lo], pa.int64()),
+                             "s": pa.array([s], pa.int64())})
+
+        def block_fn(batch: pa.Table) -> pa.Table:
+            starts, ends = group_runs(batch, ["k"])
+            ks, lows, sums = [], [], []
+            kcol = batch.column("k").to_numpy() if batch.num_rows else []
+            vcol = batch.column("v").to_numpy() if batch.num_rows else []
+            for s0, e0 in zip(starts, ends):
+                lo, s = per_group(vcol[s0:e0])
+                ks.append(int(kcol[s0]))
+                lows.append(lo)
+                sums.append(s)
+            return pa.table({"k": pa.array(ks, pa.int64()),
+                             "lo": pa.array(lows, pa.int64()),
+                             "s": pa.array(sums, pa.int64())})
+
+        for seed, nkeys in ((0, 3), (1, 500), (2, 4000)):
+            rng = np.random.RandomState(seed)
+            n = 8000
+            k = rng.randint(0, nkeys, size=n).astype(np.int64)
+            v = rng.randint(0, 1000, size=n).astype(np.int64)
+            tbl = pa.table({"k": pa.array(k), "v": pa.array(v)})
+            ds = ray.data.from_arrow(tbl).repartition(7)
+            a = (ds.groupby("k").map_groups(ray_fn, batch_format="pyarrow")
+                 .to_pandas().sort_values("k").reset_index(drop=True))
+            b = (sorted_map_groups(ds, ["k"], block_fn)
+                 .to_pandas().sort_values("k").reset_index(drop=True))
+            pd.testing.assert_frame_equal(a, b)

@@ -86,37 +86,50 @@ def _line_sql(mod, xm, xr, ym, yr, table="part", key="p_partkey"):
 # ---------------------------------------------------------------------------
 
 def q_line_segments(sf_dir: str):
-    """(line_id, seg_idx, seg_len, seg2): per-segment planar length via
-    kernels.lines.segment_lengths (sqrt of an exact integer), plus the
-    exact integer squared length."""
-    from ..kernels.lines import segment_lengths
+    """(line_id, seg_idx, seg_len, seg2): per-segment planar length
+    (sqrt of an exact integer, the same IEEE op sequence as
+    kernels.lines.segment_lengths), plus the exact integer squared
+    length.
+
+    One vectorized pass per (gid, ord)-sorted block via
+    sorted_map_groups — NO per-group dispatch: consecutive-row deltas
+    across the whole block, masked at gid boundaries. seg_len is a
+    per-segment value (sqrt of an exact integer), so vectorizing across
+    groups is bit-identical to per-group evaluation."""
+    from ..stages.agg import group_runs, sorted_map_groups
 
     ds = _vertex_ds(sf_dir, "part", "p_partkey",
                     LINE_MOD, LINE_XM, LINE_XR, LINE_YM, LINE_YR)
 
-    def segs(group: pa.Table) -> pa.Table:
-        order = np.argsort(group.column("ord").to_numpy(), kind="stable")
-        x = group.column("x").to_numpy()[order]
-        y = group.column("y").to_numpy()[order]
-        if len(x) < 2:
-            return pa.table({"line_id": pa.array([], pa.int64()),
-                             "seg_idx": pa.array([], pa.int64()),
-                             "seg_len": pa.array([], pa.float64()),
-                             "seg2": pa.array([], pa.int64())})
-        verts = np.column_stack([x, y])
-        sl = segment_lengths(verts)
-        dx = np.diff(x)
-        dy = np.diff(y)
-        gid = int(group.column("gid")[0].as_py())
-        m = len(sl)
+    empty = pa.table({"line_id": pa.array([], pa.int64()),
+                      "seg_idx": pa.array([], pa.int64()),
+                      "seg_len": pa.array([], pa.float64()),
+                      "seg2": pa.array([], pa.int64())})
+
+    def segs_block(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n < 2:
+            return empty
+        gid = batch.column("gid").to_numpy()
+        x = batch.column("x").to_numpy()
+        y = batch.column("y").to_numpy()
+        starts, ends = group_runs(batch, ["gid"])
+        # within-run vertex index for every row
+        run_id = np.repeat(np.arange(len(starts)), ends - starts)
+        idx = np.arange(n, dtype=np.int64) - starts[run_id]
+        same = gid[1:] == gid[:-1]          # segment stays inside a run
+        dx = (x[1:] - x[:-1])[same]
+        dy = (y[1:] - y[:-1])[same]
+        s2 = dx * dx + dy * dy
         return pa.table({
-            "line_id": pa.array(np.full(m, gid, np.int64)),
-            "seg_idx": pa.array(np.arange(m, dtype=np.int64)),
-            "seg_len": pa.array(sl, pa.float64()),
-            "seg2": pa.array((dx * dx + dy * dy).astype(np.int64)),
+            "line_id": pa.array(gid[:-1][same].astype(np.int64)),
+            "seg_idx": pa.array(idx[:-1][same]),
+            "seg_len": pa.array(np.sqrt(s2), pa.float64()),
+            "seg2": pa.array(s2.astype(np.int64)),
         })
 
-    return ds.groupby("gid").map_groups(segs, batch_format="pyarrow")
+    return sorted_map_groups(ds, ["gid"], segs_block,
+                             sort_keys=["gid", "ord"])
 
 
 LINE_SEGMENTS_SQL = f"""
@@ -146,37 +159,58 @@ def q_ring_stats(sf_dir: str):
     from ..kernels.measures import ring_area_planar, ring_centroid
     from ..kernels.predicates import ring_is_clockwise
 
+    from ..stages.agg import group_runs, sorted_map_groups
+
     ds = _vertex_ds(sf_dir, "customer", "c_custkey",
                     RING_MOD, RING_XM, RING_XR, RING_YM, RING_YR)
 
-    def stats(group: pa.Table) -> pa.Table:
-        empty = pa.table({"ring_id": pa.array([], pa.int64()),
-                          "n_vertices": pa.array([], pa.int64()),
-                          "area": pa.array([], pa.float64()),
-                          "is_cw": pa.array([], pa.int64()),
-                          "cx": pa.array([], pa.float64()),
-                          "cy": pa.array([], pa.float64())})
-        order = np.argsort(group.column("ord").to_numpy(), kind="stable")
-        x = group.column("x").to_numpy()[order]
-        y = group.column("y").to_numpy()[order]
-        if len(x) < 3:
+    empty = pa.table({"ring_id": pa.array([], pa.int64()),
+                      "n_vertices": pa.array([], pa.int64()),
+                      "area": pa.array([], pa.float64()),
+                      "is_cw": pa.array([], pa.int64()),
+                      "cx": pa.array([], pa.float64()),
+                      "cy": pa.array([], pa.float64())})
+
+    def stats_block(batch: pa.Table) -> pa.Table:
+        # one Python iteration per KEY RUN (bounded: <= RING_MOD rings
+        # per block), each a vectorized kernel call over the whole run —
+        # replaces Ray's per-group map_groups dispatch, which dominated
+        # at 30-100 us/group
+        if batch.num_rows == 0:
             return empty
-        ring = np.column_stack([x, y])
-        area = ring_area_planar(ring)
-        if area == 0.0:
+        gid = batch.column("gid").to_numpy()
+        x = batch.column("x").to_numpy()
+        y = batch.column("y").to_numpy()
+        starts, ends = group_runs(batch, ["gid"])
+        out = {k: [] for k in ("ring_id", "n_vertices", "area",
+                               "is_cw", "cx", "cy")}
+        for s, e in zip(starts, ends):
+            if e - s < 3:
+                continue
+            ring = np.column_stack([x[s:e], y[s:e]])
+            area = ring_area_planar(ring)
+            if area == 0.0:
+                continue
+            cx, cy = ring_centroid(ring)
+            out["ring_id"].append(int(gid[s]))
+            out["n_vertices"].append(e - s)
+            out["area"].append(area)
+            out["is_cw"].append(int(ring_is_clockwise(ring)))
+            out["cx"].append(cx)
+            out["cy"].append(cy)
+        if not out["ring_id"]:
             return empty
-        cx, cy = ring_centroid(ring)
-        gid = int(group.column("gid")[0].as_py())
         return pa.table({
-            "ring_id": pa.array([gid], pa.int64()),
-            "n_vertices": pa.array([len(x)], pa.int64()),
-            "area": pa.array([area], pa.float64()),
-            "is_cw": pa.array([int(ring_is_clockwise(ring))], pa.int64()),
-            "cx": pa.array([cx], pa.float64()),
-            "cy": pa.array([cy], pa.float64()),
+            "ring_id": pa.array(out["ring_id"], pa.int64()),
+            "n_vertices": pa.array(out["n_vertices"], pa.int64()),
+            "area": pa.array(out["area"], pa.float64()),
+            "is_cw": pa.array(out["is_cw"], pa.int64()),
+            "cx": pa.array(out["cx"], pa.float64()),
+            "cy": pa.array(out["cy"], pa.float64()),
         })
 
-    return ds.groupby("gid").map_groups(stats, batch_format="pyarrow")
+    return sorted_map_groups(ds, ["gid"], stats_block,
+                             sort_keys=["gid", "ord"])
 
 
 RING_STATS_SQL = f"""

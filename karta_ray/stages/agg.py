@@ -80,7 +80,7 @@ def _truncate_runs(table: pa.Table, keys: list, cap: int) -> pa.Table:
 
 
 def sorted_map_groups(ds, keys: list, block_fn, *, pre_reduce=None,
-                      max_group_rows=None):
+                      max_group_rows=None, sort_keys=None):
     """Distributed groupby().map_groups() without Ray's per-group
     dispatch cost (which dominates for many tiny groups: 30-100 us of
     slicing/format conversion per group vs sub-us of useful work).
@@ -114,8 +114,15 @@ def sorted_map_groups(ds, keys: list, block_fn, *, pre_reduce=None,
     With neither escape, a hot key that fills whole blocks lands on the
     single residue block (O(data) worst case) — fine for bounded key
     domains, wrong for corpus-scale skew.
+
+    ``sort_keys`` (default ``keys``) lets callers demand a finer
+    WITHIN-group row order (e.g. sort by ``[gid, ord]`` while grouping
+    by ``[gid]``) so ``block_fn`` sees each group's rows already
+    ordered.
     """
-    blocks = ds.sort(keys).materialize()
+    if sort_keys is None:
+        sort_keys = keys
+    blocks = ds.sort(sort_keys).materialize()
 
     # A group can only straddle a block boundary through a block's FIRST
     # or LAST key run, so those runs are deferred wholesale to the
@@ -143,7 +150,7 @@ def sorted_map_groups(ds, keys: list, block_fn, *, pre_reduce=None,
         return out
 
     def residue_fn(batch: pa.Table) -> pa.Table:
-        return block_fn(batch.sort_by([(k, "ascending") for k in keys]))
+        return block_fn(batch.sort_by([(k, "ascending") for k in sort_keys]))
 
     main = blocks.map_batches(interior, batch_size=None,
                               batch_format="pyarrow")

@@ -230,29 +230,30 @@ def _hyperplanes(dim: int, bits: int) -> np.ndarray:
     return rng.randn(bits, dim)
 
 
-def cosine_neardup_lsh(emb_ds, threshold: float, *, bits: int = 32,
-                       bands: int = 4, max_bucket: int = 512):
-    """Near-duplicate pairs via random-hyperplane LSH — the no-broadcast
-    scale path: signature -> band buckets -> within-bucket exact cosine.
+# above this many vectors the normalized embedding matrix stops being
+# broadcastable and candidate verification switches to distributed
+# hash joins against the embedding dataset
+EMB_BROADCAST_MAX_DOCS = 1_000_000  # ~0.5 GB at d=64 float64
 
-    Approximate (recall < 1 for moderate thresholds; near-certain for
-    true near-dups with cos >~ 0.95). Exact verification inside buckets,
-    dedup across bands with a tree combine.
-    """
+
+def lsh_band_rows(bits: int, bands: int):
+    """map_batches fn: (band, key, vec_id) rows — IDS ONLY, 24 B/row.
+
+    The embedding is deliberately NOT carried through the bucket
+    shuffle (an embedding column here would amplify shuffle bytes by
+    bands x vector size — the mistake minhash r02 fixed); surviving
+    candidates recover their vectors afterwards via broadcast lookup or
+    a distributed hash join."""
     rows_per_band = bits // bands
     state = {"planes": None}  # lazily sized to the embedding dim per worker
 
     def sig_rows(batch: pa.Table) -> pa.Table:
-        from ..functions.arrays import matrix_to_list_column
-
         emb = _normalize(_to_matrix(batch.column("embedding")))
         if state["planes"] is None or state["planes"].shape[1] != emb.shape[1]:
             state["planes"] = _hyperplanes(emb.shape[1], bits)
         bitsm = (emb @ state["planes"].T) > 0  # (n, bits)
         vid = batch.column("vec_id").to_numpy().astype(np.int64)
-        out_band = []
-        out_key = []
-        out_id = []
+        out_band, out_key, out_id = [], [], []
         for b in range(bands):
             chunk = bitsm[:, b * rows_per_band:(b + 1) * rows_per_band]
             key = (chunk.astype(np.int64)
@@ -264,35 +265,146 @@ def cosine_neardup_lsh(emb_ds, threshold: float, *, bits: int = 32,
             "band": pa.array(np.concatenate(out_band)),
             "key": pa.array(np.concatenate(out_key)),
             "vec_id": pa.array(np.concatenate(out_id)),
-            "embedding": matrix_to_list_column(np.tile(emb, (bands, 1))),
         })
 
-    rows = emb_ds.map_batches(sig_rows, batch_format="pyarrow")
+    return sig_rows
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
+
+def _bucket_candidates_block(max_bucket: int):
+    """Block fn for sorted_map_groups over (band, key): unique-id
+    candidate pairs per under-cap bucket run, vectorized over the
+    block's runs (no per-group dispatch)."""
+    from .agg import group_runs
+
+    def fn(block: pa.Table) -> pa.Table:
         empty = pa.table({"vec_a": pa.array([], pa.int64()),
                           "vec_b": pa.array([], pa.int64()),
-                          "sim": pa.array([], pa.float64())})
-        if group.num_rows < 2 or group.num_rows > max_bucket:
+                          "n": pa.array([], pa.int64())})
+        if block.num_rows < 2:
             return empty
-        vid = group.column("vec_id").to_numpy()
-        emb = _to_matrix(group.column("embedding"))
-        order = np.argsort(vid, kind="stable")
-        vid, emb = vid[order], emb[order]
-        sims = emb @ emb.T
-        ai, bi = np.triu_indices(len(vid), 1)
-        keep = (sims[ai, bi] >= threshold) & (vid[ai] != vid[bi])
-        return pa.table({
-            "vec_a": pa.array(vid[ai][keep], pa.int64()),
-            "vec_b": pa.array(vid[bi][keep], pa.int64()),
-            "sim": pa.array(sims[ai, bi][keep], pa.float64()),
-        })
+        vid = block.column("vec_id").to_numpy()
+        starts, ends = group_runs(block, ["band", "key"])
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2 or e - s > max_bucket:
+                continue
+            ids = np.unique(vid[s:e])
+            if len(ids) < 2:
+                continue
+            ai, bi = np.triu_indices(len(ids), 1)
+            out_a.append(ids[ai])
+            out_b.append(ids[bi])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a).astype(np.int64)
+        b = np.concatenate(out_b).astype(np.int64)
+        return pa.table({"vec_a": pa.array(a), "vec_b": pa.array(b),
+                         "n": pa.array(np.ones(len(a), np.int64))})
 
-    pairs = rows.groupby(["band", "key"]).map_groups(bucket_pairs,
-                                                     batch_format="pyarrow")
-    from .agg import tree_agg
+    return fn
 
-    return tree_agg(pairs, ["vec_a", "vec_b"], [("sim", "max")])
+
+def cosine_neardup_lsh(emb_ds, threshold: float, *, bits: int = 32,
+                       bands: int = 4, max_bucket: int = 512):
+    """Near-duplicate pairs via random-hyperplane LSH — the no-broadcast
+    scale path.
+
+    Shape (shuffle bytes O(rows x 24 B), no embedding amplification):
+    id-only band rows -> bucket candidate pairs via sorted_map_groups
+    (range shuffle + per-block run processing, over-cap buckets
+    tombstone-truncated) -> cross-band pair dedup (sorted_sum, unbounded
+    pair cardinality) -> exact cosine verification of surviving pairs
+    only, recovering vectors adaptively: broadcast matrix lookup below
+    EMB_BROADCAST_MAX_DOCS, distributed hash joins above.
+
+    Approximate (recall < 1 for moderate thresholds; near-certain for
+    true near-dups with cos >~ 0.95); verification is exact, so emitted
+    sims equal the brute-force values.
+    """
+    import ray.data
+
+    from .agg import sorted_map_groups, sorted_sum
+
+    emb_ds = emb_ds.materialize()
+    rows = emb_ds.map_batches(lsh_band_rows(bits, bands),
+                              batch_format="pyarrow")
+    cand = sorted_map_groups(rows, ["band", "key"],
+                             _bucket_candidates_block(max_bucket),
+                             max_group_rows=max_bucket)
+    uniq = sorted_sum(cand, ["vec_a", "vec_b"], ["n"])
+
+    n_docs = emb_ds.count()
+    if n_docs <= EMB_BROADCAST_MAX_DOCS:
+        # broadcast path: normalized matrix ray.put once, zero-copy
+        # object-store read per task, searchsorted id lookup
+        parts_id, parts_m = [], []
+        for batch in emb_ds.iter_batches(batch_format="pyarrow",
+                                         batch_size=65536):
+            parts_id.append(batch.column("vec_id").to_numpy()
+                            .astype(np.int64))
+            parts_m.append(_normalize(_to_matrix(batch.column("embedding"))))
+        ids = np.concatenate(parts_id)
+        mat = np.vstack(parts_m)
+        order = np.argsort(ids, kind="stable")
+        ref = ray.put({"ids": ids[order],
+                       "mat": np.ascontiguousarray(mat[order])})
+
+        def verify_bcast(batch: pa.Table, *, ref=ref) -> pa.Table:
+            data = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            a = batch.column("vec_a").to_numpy()
+            b = batch.column("vec_b").to_numpy()
+            ia = np.searchsorted(data["ids"], a)
+            ib = np.searchsorted(data["ids"], b)
+            sim = np.einsum("ij,ij->i", data["mat"][ia], data["mat"][ib])
+            keep = np.nonzero(sim >= threshold)[0]
+            out = batch.select(["vec_a", "vec_b"]).take(
+                pa.array(keep, pa.int64()))
+            return out.append_column("sim", pa.array(sim[keep],
+                                                     pa.float64()))
+
+        return uniq.map_batches(verify_bcast, batch_format="pyarrow")
+
+    # join path: traffic bounded by the candidate count
+    uniq = uniq.materialize()
+    if uniq.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "vec_a": pa.array([], pa.int64()),
+            "vec_b": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64())}))
+
+    def to_binary(batch: pa.Table) -> pa.Table:
+        # Acero's hash join rejects list<double> payload columns; carry
+        # the normalized vector as a same-bytes binary blob instead
+        from ..functions.arrays import matrix_to_binary_column
+
+        m = _normalize(_to_matrix(batch.column("embedding")))
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "embx": matrix_to_binary_column(m)})
+
+    emb_tbl = emb_ds.map_batches(to_binary, batch_format="pyarrow")
+    j1 = uniq.join(emb_tbl, "inner", num_partitions=8,
+                   on=("vec_a",), right_on=("vec_id",)).materialize()
+    j2 = j1.rename_columns({"embx": "emb_a"}).join(
+        emb_tbl, "inner", num_partitions=8,
+        on=("vec_b",), right_on=("vec_id",)).materialize()
+
+    def verify_join(batch: pa.Table) -> pa.Table:
+        from ..functions.arrays import binary_column_to_matrix
+
+        if batch.num_rows == 0:
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        d = len(batch.column("emb_a")[0].as_py()) // 8
+        ea = binary_column_to_matrix(batch.column("emb_a"), np.float64, d)
+        eb = binary_column_to_matrix(batch.column("embx"), np.float64, d)
+        sim = np.einsum("ij,ij->i", ea, eb)
+        keep = np.nonzero(sim >= threshold)[0]
+        out = batch.select(["vec_a", "vec_b"]).take(
+            pa.array(keep, pa.int64()))
+        return out.append_column("sim", pa.array(sim[keep], pa.float64()))
+
+    return j2.map_batches(verify_join, batch_format="pyarrow")
 
 
 def cosine_neardup_blocked(emb_ds, threshold: float, *, nblocks: int = 8):
@@ -337,6 +449,11 @@ def cosine_neardup_blocked(emb_ds, threshold: float, *, nblocks: int = 8):
 
     rows = emb_ds.map_batches(expand, batch_format="pyarrow")
 
+    # sims tiles are bounded to _SIM_TILE x bucket_n float64 regardless
+    # of bucket size, so worst-case scorer memory is set by the tile,
+    # not the (skew-sensitive) bucket population
+    _SIM_TILE = 4096
+
     def bucket_pairs(group: pa.Table) -> pa.Table:
         empty = pa.table({"vec_a": pa.array([], pa.int64()),
                           "vec_b": pa.array([], pa.int64())})
@@ -347,26 +464,44 @@ def cosine_neardup_blocked(emb_ds, threshold: float, *, nblocks: int = 8):
         vid = group.column("vec_id").to_numpy()
         blk = group.column("blk").to_numpy()
         emb = _to_matrix(group.column("embedding"))
+        outs_a, outs_b = [], []
         if lo == hi:
             order = np.argsort(vid, kind="stable")
             vid, emb = vid[order], emb[order]
-            sims = emb @ emb.T
-            ai, bi = np.triu_indices(len(vid), 1)
-            keep = sims[ai, bi] >= threshold
-            a, b = vid[ai][keep], vid[bi][keep]
+            n = len(vid)
+            for s in range(0, n, _SIM_TILE):
+                e = min(s + _SIM_TILE, n)
+                sims = emb[s:e] @ emb[s:].T  # tile vs upper remainder
+                ii, jj = np.nonzero(sims >= threshold)
+                keep = (s + ii) < (s + jj)   # strict upper triangle
+                outs_a.append(vid[s + ii[keep]])
+                outs_b.append(vid[s + jj[keep]])
         else:
             ml = blk == lo
             va, ea = vid[ml], emb[ml]
             vb, eb = vid[~ml], emb[~ml]
             if not len(va) or not len(vb):
                 return empty
-            sims = ea @ eb.T
-            ii, jj = np.nonzero(sims >= threshold)
-            a, b = va[ii], vb[jj]
-            a, b = np.minimum(a, b), np.maximum(a, b)
+            for s in range(0, len(va), _SIM_TILE):
+                e = min(s + _SIM_TILE, len(va))
+                sims = ea[s:e] @ eb.T
+                ii, jj = np.nonzero(sims >= threshold)
+                a, b = va[s + ii], vb[jj]
+                outs_a.append(np.minimum(a, b))
+                outs_b.append(np.maximum(a, b))
+        if not outs_a:
+            return empty
+        a = np.concatenate(outs_a)
+        b = np.concatenate(outs_b)
         return pa.table({"vec_a": pa.array(a, pa.int64()),
                          "vec_b": pa.array(b, pa.int64())})
 
+    # groupby().map_groups is the RIGHT primitive here (unlike the
+    # many-tiny-bucket LSH paths): the key domain is exactly
+    # nblocks*(nblocks+1)/2 buckets — per-group dispatch cost is
+    # O(nblocks^2), not O(pairs) — and the triangle join's documented
+    # partitioning assumption is that one bucket (~2N/nblocks vectors)
+    # fits in a worker; choose nblocks ~ sqrt(cluster parallelism).
     return rows.groupby("bucket").map_groups(bucket_pairs,
                                              batch_format="pyarrow")
 

@@ -8,13 +8,15 @@ per-group overhead dominates. This shape is fully vectorized:
 2. per sorted block, a vectorized partial per (user, block): n_events,
    inner session bounds (gap > gap_us), first/last ts — all numpy
    segment reductions, no per-user work;
-3. one vectorized merge of the partials (sorted by (user, first_ts),
-   adjacent same-user partials stitched with a junction-gap check).
+3. a DISTRIBUTED merge of the partials on sorted_map_groups (range
+   shuffle by (user, first_ts) + per-block stitch): adjacent same-user
+   partials are stitched with a junction-gap check, vectorized per
+   block; users straddling a partial-block boundary are pre-reduced to
+   one partial row per (user, block) before the bounded residue pass.
 
-The merge input is ~n_users rows (plus one extra row per user that
-straddles a block boundary). Here it runs as a single block; at
-10^12-row scale the identical stitch logic applies per hash partition
-of users, with only block-boundary users needing the junction pass.
+No stage ever holds more than one block of partials: with 10^9 users
+the merge input (~n_users rows) stays spread across the range shuffle's
+blocks instead of collapsing onto a single O(users) block.
 """
 
 from __future__ import annotations
@@ -65,6 +67,38 @@ def sessionize(ds, *, user_col: str = "user_id", ts_col: str = "ts",
     parts = (ds.sort([user_col, ts_col])
              .map_batches(partials, batch_format="pyarrow"))
 
+    def stitch_partials(batch: pa.Table) -> pa.Table:
+        """pre_reduce: collapse a (user, first_ts)-sorted run of
+        partial rows to ONE partial row per user — same stitch rule as
+        the final merge (sum events, sum bounds + junction breaks),
+        but keeping the partial schema so the residue pass can re-feed
+        it through the merge."""
+        u = batch.column("user_id").to_numpy()
+        ne = batch.column("n_events").to_numpy()
+        nb = batch.column("n_bounds").to_numpy()
+        ft = batch.column("first_ts").to_numpy()
+        lt = batch.column("last_ts").to_numpy()
+        order = np.lexsort((ft, u))
+        u, ne, nb, ft, lt = (u[order], ne[order], nb[order], ft[order],
+                             lt[order])
+        starts, ends = _segments(u)
+        if len(starts) == 0:
+            return batch
+        same = u[1:] == u[:-1]
+        junction = same & ((ft[1:] - lt[:-1]) > gap_us)
+        ce = np.concatenate([[0], np.cumsum(ne)])
+        cb = np.concatenate([[0], np.cumsum(nb)])
+        cj = np.concatenate([[0], np.cumsum(junction)])
+        return pa.table({
+            "user_id": pa.array(u[starts].astype(np.int64)),
+            "n_events": pa.array((ce[ends] - ce[starts]).astype(np.int64)),
+            "n_bounds": pa.array(((cb[ends] - cb[starts])
+                                  + (cj[ends - 1] - cj[starts]))
+                                 .astype(np.int64)),
+            "first_ts": pa.array(ft[starts]),
+            "last_ts": pa.array(lt[ends - 1]),
+        })
+
     def merge(batch: pa.Table) -> pa.Table:
         u = batch.column("user_id").to_numpy()
         ne = batch.column("n_events").to_numpy()
@@ -91,4 +125,11 @@ def sessionize(ds, *, user_col: str = "user_id", ts_col: str = "ts",
             "n_sessions": pa.array((n_bounds + 1).astype(np.int64)),
         })
 
-    return parts.repartition(1).map_batches(merge, batch_format="pyarrow")
+    from .agg import sorted_map_groups
+
+    # distributed stitch: no single O(n_users) merge block. pre_reduce
+    # bounds the residue to <= 2 rows per (user, partial-block) even for
+    # users whose partials span many blocks.
+    return sorted_map_groups(parts, ["user_id"], merge,
+                             pre_reduce=stitch_partials,
+                             sort_keys=["user_id", "first_ts"])

@@ -331,6 +331,34 @@ class TestSessionize:
             assert int(got.loc[u, "n_events"]) == int((users == u).sum())
             assert int(got.loc[u, "n_sessions"]) == n_sessions, u
 
+    def test_user_straddles_many_blocks(self):
+        # 2 users x thousands of events over 16 blocks: after the sort
+        # each user's events span >= 3 blocks, so the distributed merge
+        # must stitch partial chains across blocks (incl. pre-reduced
+        # edge runs), not just pairwise boundaries
+        import ray.data
+
+        from karta_ray.stages.session import sessionize
+
+        gap = 100
+        n = 8000
+        ts = np.arange(n, dtype=np.int64) * 60  # within-gap cadence...
+        ts[::500] += 10_000                     # ...with planted breaks
+        ts = np.cumsum(ts % 7919)               # irregular but sorted
+        users = np.where(np.arange(n) % 2 == 0, 7, 9).astype(np.int64)
+        tbl = pa.table({
+            "user_id": pa.array(users),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+        })
+        ds = ray.data.from_arrow(tbl).repartition(16)
+        got = sessionize(ds, gap_us=gap).to_pandas().set_index("user_id")
+        assert len(got) == 2
+        for u in (7, 9):
+            t = np.sort(ts[users == u])
+            n_sessions = 1 + int((np.diff(t) > gap).sum())
+            assert int(got.loc[u, "n_events"]) == int((users == u).sum())
+            assert int(got.loc[u, "n_sessions"]) == n_sessions, u
+
     def test_quality_counts_match_arrow_path(self):
         # the Arrow-compute doc_quality must equal the scalar kernel
         import pyarrow.compute as pc

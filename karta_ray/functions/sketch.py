@@ -63,18 +63,28 @@ def hll_register_rows(ds, col: str, p: int = _P_DEFAULT, *,
     ``hash_fn="md5"`` (default) uses the DuckDB-parity hash
     (functions.text.md5_u64 == md5_number_lower), which makes the whole
     sketch — bucket index, rank, register max — reproducible in SQL bit
-    for bit; ``"blake2b"`` is the faster engine-internal hash.
-    Only nonzero registers are emitted (bounded: <= 2^p rows)."""
+    for bit; any other value uses the vectorized engine-internal hash
+    (functions.text.hash_column_u64 — no per-row Python).
+    Only nonzero registers are emitted (bounded: <= 2^p rows).
+
+    The md5 path batch-dedups values first (Arrow ``unique`` — the
+    register set is invariant under duplicates), so the unavoidable
+    per-value Python md5 runs over per-batch DISTINCT values only; its
+    str() key must match SQL's CAST(x AS VARCHAR), which holds for the
+    integer/string columns the oracles use."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from ..stages.agg import tree_agg
-    from .text import hash_bytes_u64, md5_u64
-
-    hasher = md5_u64 if hash_fn == "md5" else hash_bytes_u64
+    from .text import hash_column_u64, md5_u64
 
     def partial(batch: pa.Table) -> pa.Table:
-        vals = batch.column(col).to_pylist()
-        h = hasher([str(v).encode() for v in vals])
+        if hash_fn == "md5":
+            uniq = pc.unique(batch.column(col))
+            vals = pc.cast(uniq, pa.string()).to_pylist()
+            h = md5_u64([("" if v is None else v).encode() for v in vals])
+        else:
+            h = hash_column_u64(batch.column(col))
         regs = hll_add_hashes(hll_create(p), h)
         nz = np.nonzero(regs)[0]
         return pa.table({
@@ -97,20 +107,15 @@ def hll_count_from_rows(rows, p: int = _P_DEFAULT) -> float:
 
 
 def approx_distinct(ds, col: str, p: int = _P_DEFAULT) -> float:
-    """Approximate distinct count of a column over a Dataset: per-batch
-    register partials, merged driver-side (each partial is 2^p bytes)."""
-    import pyarrow as pa
+    """Approximate distinct count of a column over a Dataset.
 
-    from .text import hash_bytes_u64
-
-    def partial(batch: pa.Table) -> pa.Table:
-        vals = batch.column(col).to_pylist()
-        h = hash_bytes_u64([str(v).encode() for v in vals])
-        regs = hll_add_hashes(hll_create(p), h)
-        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
-
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    regs = hll_create(p)
-    for row in parts:
-        regs = hll_merge(regs, np.frombuffer(row["regs"], dtype=np.uint8))
-    return hll_count(regs)
+    Per-batch register partials (vectorized hash — no per-row Python)
+    are tree-combined as (bucket, register-max) rows INSIDE the
+    cluster; the driver collects only the <= 2^p final register rows —
+    transfer independent of block count (at 10^6 blocks the former
+    per-block 2^p-byte blob collect would put GBs on the driver)."""
+    rows = hll_register_rows(ds, col, p, hash_fn="fast")
+    tbl = rows.take_all()
+    return hll_count_from_rows(
+        {"bucket": [r["bucket"] for r in tbl],
+         "register": [r["register"] for r in tbl]}, p)

@@ -24,6 +24,87 @@ def hash_bytes_u64(parts: list[bytes]) -> np.ndarray:
     return out
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (Steele et al. 2014) — full
+    64-bit avalanche, pure numpy."""
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+_HASH_COL_LONG = 512  # strings longer than this take the per-row path
+
+
+def hash_column_u64(col) -> np.ndarray:
+    """Deterministic 64-bit hash of an Arrow column with NO per-row
+    Python on the hot path (the engine-internal hash for HLL and other
+    sketches; use :func:`md5_u64` only where a SQL oracle must
+    reproduce the hash).
+
+    Integers/floats hash as splitmix64 of their 64-bit pattern.
+    Strings/binary hash with a vectorized FNV-1a (Horner by byte
+    position over the flat Arrow buffer — one masked gather per byte
+    position up to the batch max length) + splitmix64 finish; rare
+    over-long values (> _HASH_COL_LONG bytes) fall back to per-row
+    blake2b, chosen by each value's own length so the scheme stays
+    value-deterministic. Nulls hash as empty/zero."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    t = arr.type
+    if pa.types.is_integer(t) or pa.types.is_temporal(t):
+        x = pc.cast(arr, pa.int64(), safe=False).to_numpy(
+            zero_copy_only=False).astype(np.int64).view(np.uint64)
+        return _splitmix64(x)
+    if pa.types.is_floating(t):
+        x = pc.cast(arr, pa.float64()).to_numpy(
+            zero_copy_only=False).astype(np.float64).view(np.uint64)
+        return _splitmix64(x)
+    if not (pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+        # fallback: stringify via Arrow, then hash as string
+        arr = pc.cast(arr, pa.string())
+        t = arr.type
+    if pa.types.is_string(t) or pa.types.is_binary(t):
+        off_dt = np.int32
+    else:
+        off_dt = np.int64
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    arr = arr.fill_null("" if pa.types.is_string(t)
+                        or pa.types.is_large_string(t) else b"")
+    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dt)[
+        arr.offset:arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8) \
+        if arr.buffers()[2] is not None else np.empty(0, np.uint8)
+    starts = offsets[:-1]
+    lens = np.diff(offsets)
+    out = np.empty(n, dtype=np.uint64)
+    short = lens <= _HASH_COL_LONG
+    s_idx = np.nonzero(short)[0]
+    if len(s_idx):
+        sl = lens[s_idx]
+        ss = starts[s_idx]
+        h = np.full(len(s_idx), 0xcbf29ce484222325, dtype=np.uint64)
+        maxlen = int(sl.max()) if len(sl) else 0
+        with np.errstate(over="ignore"):
+            for j in range(maxlen):
+                m = sl > j
+                b = data[ss[m] + j].astype(np.uint64)
+                h[m] = (h[m] ^ b) * np.uint64(0x100000001B3)
+            out[s_idx] = _splitmix64(h ^ sl.astype(np.uint64))
+    long_idx = np.nonzero(~short)[0]
+    if len(long_idx):
+        out[long_idx] = hash_bytes_u64(
+            [data[starts[i]:starts[i] + lens[i]].tobytes()
+             for i in long_idx])
+    return out
+
+
 def md5_u64(parts: list[bytes]) -> np.ndarray:
     """64-bit hash per byte string with DuckDB parity:
     ``int.from_bytes(md5(p)[8:16], "little") == md5_number_lower(p)``.

@@ -120,31 +120,21 @@ def ann_ivf_topk(emb_ds, query_ids, query_mat, k: int = 10, *,
                  exclude_self: bool = True):
     """IVF variant (``nprobe=None`` probes every cluster — the
     exact-mode twin, result identical to brute-force top-k):
-    compute per-cluster centroids (one small pass), then
-    score each query only against its ``nprobe`` nearest clusters."""
-    def partial_centroids(batch: pa.Table) -> pa.Table:
-        lab = batch.column(label_col).to_numpy()
-        emb = _to_matrix(batch.column("embedding"))
-        out = []
-        for l in np.unique(lab):
-            m = lab == l
-            out.append((int(l), emb[m].sum(axis=0), int(m.sum())))
-        return pa.table({
-            "label": pa.array([o[0] for o in out], pa.int64()),
-            "vsum": pa.array([o[1].tolist() for o in out]),
-            "n": pa.array([o[2] for o in out], pa.int64()),
-        })
+    compute per-cluster centroids (one small pass, partials
+    tree-combined in the cluster so the driver collects only the
+    k x d final rows — independent of block count), then score each
+    query only against its ``nprobe`` nearest clusters."""
+    from .kmeans import _label_sum_rows, collect_centroid_sums
 
-    parts = emb_ds.map_batches(partial_centroids,
-                               batch_format="pyarrow").take_all()
-    sums: dict = {}
-    counts: dict = {}
-    for row in parts:
-        l = row["label"]
-        sums[l] = sums.get(l, 0) + np.asarray(row["vsum"])
-        counts[l] = counts.get(l, 0) + row["n"]
-    labels = sorted(sums)
-    cent = _normalize(np.stack([sums[l] / counts[l] for l in labels]))
+    def partial_centroids(batch: pa.Table) -> pa.Table:
+        lab = batch.column(label_col).to_numpy().astype(np.int64)
+        emb = _to_matrix(batch.column("embedding"))
+        return _label_sum_rows(emb, lab)
+
+    parts = emb_ds.map_batches(partial_centroids, batch_format="pyarrow")
+    dim = np.asarray(query_mat).shape[1]  # queries share the corpus dim
+    labels, sums, counts = collect_centroid_sums(parts, dim)
+    cent = _normalize(sums / counts[:, None])
 
     qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
     probe = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]

@@ -272,6 +272,27 @@ class TestAnnLsh:
         assert (7, 100) in set(zip(joined.vec_a, joined.vec_b))
 
 
+class TestHashColumn:
+    def test_vectorized_hash_deterministic_and_distinct(self):
+        from karta_ray.functions.text import hash_column_u64
+
+        # strings incl. empties and > _HASH_COL_LONG fallback values
+        vals = ([f"user-{i}" for i in range(500)] + [""]
+                + ["x" * 600, "x" * 601])
+        col = pa.array(vals, pa.string())
+        h1 = hash_column_u64(col)
+        h2 = hash_column_u64(pa.chunked_array([col[:100], col[100:]]))
+        assert (h1 == h2).all()            # chunking-invariant
+        assert len(np.unique(h1)) == len(set(vals))
+        # integers: 64-bit mix, no collisions on a contiguous range
+        ints = pa.array(np.arange(10000, dtype=np.int64))
+        hi = hash_column_u64(ints)
+        assert len(np.unique(hi)) == 10000
+        # value-deterministic across batch composition
+        assert hash_column_u64(pa.array([vals[3]]))[0] == h1[3]
+        assert hash_column_u64(pa.array(["x" * 600]))[0] == h1[-2]
+
+
 class TestHLL:
     def test_accuracy(self):
         import pyarrow as pa

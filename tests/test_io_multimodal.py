@@ -193,6 +193,89 @@ class TestGPX:
         lens = track_lengths(t, crs.SphericalEarth)
         assert (lens > 0).all()
 
+    def test_write_round_trip(self, tmp_path):
+        # writer semantics per reference GPX.as_string/_build_gpx_wpt
+        # (_gpx.py:105-133, 288-307): wpt props as child elements,
+        # non-GPX keys under <extensions>, trkpts nested in trksegs
+        import pyarrow as pa
+
+        from karta_ray.sources.gpx import (gpx_string, read_gpx_routes,
+                                           read_gpx_tracks,
+                                           read_gpx_waypts, write_gpx)
+
+        waypts = pa.table({
+            "lon": pa.array([-80.0, 12.345678901]),
+            "lat": pa.array([82.0, -5.5]),
+            "name": pa.array(["ellesmere", None]),
+            "ele": pa.array(["100", "7.25"]),
+            "custom": pa.array(["x1", None]),  # -> <extensions>
+        })
+        tracks = pa.table({
+            "geom_id": pa.array([0, 1], pa.int64()),
+            "kind": pa.array(["line", "line"]),
+            "vertices": pa.array(
+                [[[-123.007021, 49.329471], [-122.9914, 49.392751]],
+                 [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]],
+                pa.list_(pa.list_(pa.float64(), 2))),
+            "ele": pa.array([[73.189, 80.0], [None, 1.5, None]],
+                            pa.list_(pa.float64())),
+            "name": pa.array(["Fisherman's Trail", None]),
+        })
+        routes = pa.table({
+            "geom_id": pa.array([0], pa.int64()),
+            "kind": pa.array(["line"]),
+            "vertices": pa.array([[[10.0, 20.0], [11.0, 21.0]]],
+                                 pa.list_(pa.list_(pa.float64(), 2))),
+            "ele": pa.array([[None, None]], pa.list_(pa.float64())),
+            "name": pa.array(["route0"]),
+        })
+        p = str(tmp_path / "rt.gpx")
+        write_gpx(p, waypts=waypts, tracks=tracks, routes=routes)
+
+        w = read_gpx_waypts(p)
+        # 6-decimal rounding on write matches the reader's rounding
+        assert w.column("lon").to_pylist() == [-80.0, 12.345679]
+        assert w.column("lat").to_pylist() == [82.0, -5.5]
+        assert w.column("name").to_pylist() == ["ellesmere", None]
+        assert w.column("ele").to_pylist() == ["100", "7.25"]
+        assert "custom" not in w.column_names  # extensions excluded
+
+        t = read_gpx_tracks(p)
+        assert t.column("vertices").to_pylist() \
+            == tracks.column("vertices").to_pylist()
+        assert t.column("ele").to_pylist() == tracks.column("ele").to_pylist()
+        assert t.column("name").to_pylist() == tracks.column("name").to_pylist()
+
+        r = read_gpx_routes(p)
+        assert r.column("vertices").to_pylist() \
+            == routes.column("vertices").to_pylist()
+        assert r.column("name").to_pylist() == ["route0"]
+
+        # string form parses as namespaced GPX 1.1
+        s = gpx_string(waypts=waypts)
+        assert 'xmlns="http://www.topografix.com/GPX/1/1"' in s
+        assert 'version="1.1"' in s
+
+    def test_read_routes_from_written_reference_shape(self, tmp_path):
+        # a minimal hand-written doc with namespace prefix, mirroring
+        # the reference's parse_rte path (_gpx.py:175-180)
+        from karta_ray.sources.gpx import read_gpx_routes
+
+        doc = ('<gpx xmlns="http://www.topografix.com/GPX/1/1" '
+               'version="1.1" creator="t">'
+               '<rte><name>r1</name>'
+               '<rtept lon="1.0000005" lat="2.0"><ele>5.0</ele></rtept>'
+               '<rtept lon="3.0" lat="4.0"/></rte></gpx>')
+        p = str(tmp_path / "r.gpx")
+        with open(p, "w") as f:
+            f.write(doc)
+        r = read_gpx_routes(p)
+        assert r.num_rows == 1
+        assert r.column("vertices").to_pylist() == [[[1.000001, 2.0],
+                                                     [3.0, 4.0]]]
+        assert r.column("ele").to_pylist() == [[5.0, None]]
+        assert r.column("name").to_pylist() == ["r1"]
+
 
 class TestRasterDtypes:
     def test_get_nodata_defaults(self):

@@ -228,6 +228,11 @@ def knn_join(left_ds, right_index: RightIndex, k: int, *,
                                batch_size=batch_size, zero_copy_batch=True)
 
 
+# max left rows per dense-distance tile inside a cell probe: caps the
+# (tile x ncand) float64 matrix at ~8 MB per 1k candidates
+_Q_TILE = 1024
+
+
 def knn_join_coshuffle(left_ds, right_ds, k: int, *, zoom: int,
                        right_id_col: str = "right_id", ring: int = 1):
     """Big-big kNN join with NO broadcast side: right rows are
@@ -324,13 +329,21 @@ def knn_join_coshuffle(left_ds, right_ds, k: int, *, zoom: int,
                 "dist_m": pa.array(np.full(nq, np.nan)),
                 "resolved": pa.array(np.zeros(nq, dtype=bool)),
             })
-        d = _dist_sphere(qlon[:, None], qlat[:, None],
-                         cand_lon[None, :], cand_lat[None, :])
+        # query-tiled scoring: the dense distance matrix is bounded to
+        # _Q_TILE x ncand regardless of how many LEFT rows land in a
+        # hot cell (dense-city skew guard); ncand stays bounded by the
+        # (2r+1)^2 replication of one cell's right population
         kk = min(k, len(cand_id))
-        order = np.lexsort(
-            (np.broadcast_to(cand_id, d.shape), d), axis=1)[:, :kk]
-        picked = cand_id[order]
-        dist = np.take_along_axis(d, order, axis=1)
+        picked = np.empty((nq, kk), dtype=np.int64)
+        dist = np.empty((nq, kk), dtype=np.float64)
+        for s in range(0, nq, _Q_TILE):
+            e = min(s + _Q_TILE, nq)
+            d = _dist_sphere(qlon[s:e, None], qlat[s:e, None],
+                             cand_lon[None, :], cand_lat[None, :])
+            order = np.lexsort(
+                (np.broadcast_to(cand_id, d.shape), d), axis=1)[:, :kk]
+            picked[s:e] = cand_id[order]
+            dist[s:e] = np.take_along_axis(d, order, axis=1)
         resolved = (len(cand_id) >= k) & (dist[:, kk - 1] <= bound)
         return pa.table({
             "left_id": pa.array(np.repeat(qid, kk), pa.int64()),

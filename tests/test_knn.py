@@ -107,6 +107,45 @@ class TestKnnCoshuffle:
             assert [got[q][r] for r in range(1, k + 1)] == want[q].tolist(), q
 
 
+class TestKnnCoshuffleHotCell:
+    def test_hot_cell_query_tiling_exact(self):
+        # dense-city skew: thousands of left rows + hundreds of right
+        # rows in ONE cell, forcing multiple _Q_TILE query tiles through
+        # the probe (memory stays tile x ncand, not nq x ncand); the
+        # tiled path must stay exact vs brute force
+        import ray.data
+
+        import karta_ray.stages.knn as knnmod
+        from karta_ray.stages.knn import knn_join_coshuffle
+
+        rng = np.random.RandomState(17)
+        n_l, n_r, k = 3000, 300, 3
+        assert n_l > 2 * knnmod._Q_TILE  # ensure >= 3 tiles
+        # everything inside one zoom-2 cell (cells are 90 deg wide)
+        llon = rng.uniform(10, 40, n_l)
+        llat = rng.uniform(10, 30, n_l)
+        rlon = rng.uniform(10, 40, n_r)
+        rlat = rng.uniform(10, 30, n_r)
+        lids = np.arange(n_l)
+        rids = np.arange(7000, 7000 + n_r)
+        zoom = 2
+        left = pa.table({"left_id": pa.array(lids),
+                         "lon": pa.array(llon), "lat": pa.array(llat),
+                         "cell_id": pa.array(tiles.cell_id(llon, llat, zoom))})
+        right = pa.table({"right_id": pa.array(rids),
+                          "lon": pa.array(rlon), "lat": pa.array(rlat)})
+        out = knn_join_coshuffle(ray.data.from_arrow(left),
+                                 ray.data.from_arrow(right),
+                                 k, zoom=zoom).to_pandas()
+        want = brute_knn(llon, llat, rids, rlon, rlat, k)
+        got = {}
+        for _, row in out.iterrows():
+            got.setdefault(int(row.left_id), {})[int(row["rank"])] = \
+                int(row.neighbor_id)
+        for q in range(n_l):
+            assert [got[q][r] for r in range(1, k + 1)] == want[q].tolist(), q
+
+
 class TestKnnCoshuffleEdgeCases:
     def test_nan_coordinates_do_not_crash(self):
         # ADVICE r01: rows without coordinates (cell_id == -1) used to

@@ -299,10 +299,17 @@ def q_geotiff_grid(sf_dir: str):
     # overwrite the file while an earlier (lazy) returned Dataset still
     # has decode tasks pending against it; deleted at process exit
     # (deleting sooner could race those pending tasks)
+    #
+    # MULTI-NODE NOTE: read_geotiff_dataset's decode tasks open(path)
+    # on whatever node they run; the scratch dir must therefore be a
+    # SHARED filesystem on a real cluster. Set KARTA_RAY_SCRATCH to a
+    # shared mount (NFS/FUSE bucket) there; the default tempdir is
+    # correct only for the single-node bench/test setup.
     import atexit
 
+    scratch = os.environ.get("KARTA_RAY_SCRATCH")
     fd, path = tempfile.mkstemp(prefix="karta_ray_geotiff_grid_",
-                                suffix=".tif")
+                                suffix=".tif", dir=scratch)
     os.close(fd)
 
     def _cleanup(p=path):

@@ -249,9 +249,16 @@ def _compress(data: bytes, comp: int) -> bytes:
 # IFD parsing
 # --------------------------------------------------------------------------
 
+def _decode_tag(raw: bytes, ftype: int, count: int, e: str):
+    fmt, _ = _FIELD[ftype]
+    if ftype == 2:
+        return (raw.split(b"\0")[0].decode("ascii", "replace"),)
+    return struct.unpack(e + fmt * count, raw)
+
+
 def _read_ifd(buf: bytes):
-    """Parse the first IFD. Returns (tags, endian_prefix) where tags maps
-    tag id -> tuple of values."""
+    """Parse the first IFD from an in-memory TIFF. Returns
+    (tags, endian_prefix) where tags maps tag id -> tuple of values."""
     if buf[:2] == b"II":
         e = "<"
     elif buf[:2] == b"MM":
@@ -276,10 +283,54 @@ def _read_ifd(buf: bytes):
             raw = buf[voff:voff + total]
             if len(raw) < total:
                 raise IndexError("tag value beyond buffer")
-        if ftype == 2:
-            tags[tag] = (raw.split(b"\0")[0].decode("ascii", "replace"),)
+        tags[tag] = _decode_tag(raw, ftype, count, e)
+    return tags, e
+
+
+def _read_ifd_file(f):
+    """Seek-based first-IFD parse of an open binary file: 8-byte
+    header -> seek to the IFD -> one read for the entry table -> one
+    seek+read per out-of-line tag value. libtiff/GDAL commonly append
+    the IFD at the END of the file, so a prefix slurp would pull the
+    whole raster through the driver; this touches only
+    O(tags + value tables) bytes for any file size."""
+    f.seek(0)
+    head = f.read(8)
+    if head[:2] == b"II":
+        e = "<"
+    elif head[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF file (bad byte-order mark)")
+    magic, off = struct.unpack(e + "HI", head[2:8])
+    if magic != 42:
+        raise ValueError("not a classic TIFF file")
+    f.seek(off)
+    n = struct.unpack(e + "H", f.read(2))[0]
+    entries = f.read(n * 12)
+    if len(entries) < n * 12:
+        raise ValueError("truncated TIFF IFD")
+    tags = {}
+    deferred = []
+    for k in range(n):
+        tag, ftype, count = struct.unpack_from(e + "HHI", entries, k * 12)
+        if ftype not in _FIELD:
+            continue
+        fmt, size = _FIELD[ftype]
+        total = size * count
+        if total <= 4:
+            raw = entries[k * 12 + 8: k * 12 + 8 + total]
+            tags[tag] = _decode_tag(raw, ftype, count, e)
         else:
-            tags[tag] = struct.unpack(e + fmt * count, raw)
+            voff = struct.unpack_from(e + "I", entries, k * 12 + 8)[0]
+            deferred.append((tag, ftype, count, total, voff))
+    # out-of-line values in file order (sequential-friendly seeks)
+    for tag, ftype, count, total, voff in sorted(deferred, key=lambda d: d[4]):
+        f.seek(voff)
+        raw = f.read(total)
+        if len(raw) < total:
+            raise ValueError("TIFF tag value beyond end of file")
+        tags[tag] = _decode_tag(raw, ftype, count, e)
     return tags, e
 
 
@@ -291,21 +342,11 @@ def _tag1(tags, tid, default=None):
 def read_geotiff_info(path: str) -> dict:
     """Parse only the header/IFD of a GeoTIFF: shape, dtype, bands,
     transform, CRS, nodata, and the chunk (strip/tile) byte ranges.
-    Cheap enough to run on the driver for any file size."""
-    # IFDs (and their value arrays, e.g. strip-offset tables) can live
-    # anywhere in the file; read progressively larger prefixes so the
-    # driver never slurps a multi-GB raster just to learn its layout.
+    Seek-based (_read_ifd_file): touches O(tags) bytes no matter where
+    the IFD sits (libtiff/GDAL often append it at the END of the file),
+    so the driver never slurps a multi-GB raster to learn its layout."""
     with open(path, "rb") as f:
-        tags = e = None
-        for cap in (64 * 1024, 64 * 1024 * 1024, None):
-            f.seek(0)
-            head = f.read(cap) if cap else f.read()
-            try:
-                tags, e = _read_ifd(head)
-                break
-            except (struct.error, IndexError):
-                if cap is None:
-                    raise
+        tags, e = _read_ifd_file(f)
 
     nx = _tag1(tags, _T_WIDTH)
     ny = _tag1(tags, _T_LENGTH)

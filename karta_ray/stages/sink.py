@@ -52,7 +52,10 @@ def completed_shards(root: str) -> set[int]:
 
 
 def read_sink(root: str):
-    """Read back a (possibly partial) sink as a Dataset."""
+    """Read back a (possibly partial) sink as a Dataset.
+
+    Raises a clear error when no shard has completed (an empty file
+    list would otherwise surface as an opaque read_parquet failure)."""
     import ray.data
 
     files = []
@@ -60,6 +63,10 @@ def read_sink(root: str):
         d = _shard_dir(root, s)
         man = json.load(open(os.path.join(d, SHARD_MANIFEST)))
         files.extend(os.path.join(d, f) for f in man["files"])
+    if not files:
+        raise FileNotFoundError(
+            f"no completed shards under {root!r} (no shard=*/"
+            f"{SHARD_MANIFEST} manifests found)")
     return ray.data.read_parquet(files)
 
 
@@ -73,6 +80,19 @@ def resumable_parquet_sink(ds, root: str, *, by: str, shards: int = 64):
     """
     os.makedirs(root, exist_ok=True)
     done = completed_shards(root)
+    # Resume safety: rows already written were routed with THIS call's
+    # (key, shards) modulus. A re-run with different parameters would
+    # silently skip shards whose data was hashed differently —
+    # refuse instead of misrouting rows.
+    for s in sorted(done):
+        man = json.load(open(os.path.join(_shard_dir(root, s),
+                                          SHARD_MANIFEST)))
+        if man.get("key") != by or man.get("shards", shards) != shards:
+            raise ValueError(
+                f"sink at {root!r} was partially written with "
+                f"key={man.get('key')!r}, shards={man.get('shards')} "
+                f"but this call uses key={by!r}, shards={shards}; "
+                "resume with the original parameters or use a new root")
 
     def route(batch: pa.Table) -> pa.Table:
         keys = batch.column(by).to_numpy()
@@ -96,7 +116,7 @@ def resumable_parquet_sink(ds, root: str, *, by: str, shards: int = 64):
         os.replace(tmp, fpath)  # atomic: no torn parquet on crash
         man = {"shard": sid, "rows": data.num_rows,
                "bytes": os.path.getsize(fpath),
-               "files": ["part-0.parquet"], "key": by,
+               "files": ["part-0.parquet"], "key": by, "shards": shards,
                "wall_s": round(time.perf_counter() - t0, 3)}
         mtmp = os.path.join(out_dir, SHARD_MANIFEST + ".tmp")
         with open(mtmp, "w") as f:

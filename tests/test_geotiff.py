@@ -327,3 +327,54 @@ class TestPlanarConfig2:
         expect1 = np.arange(100, 106, dtype=np.uint8).reshape(2, 3)[::-1]
         assert np.array_equal(vals[0], expect0)
         assert np.array_equal(vals[1], expect1)
+
+
+class TestSeekBasedIfdParse:
+    def test_trailing_ifd_reads_bounded_bytes(self, tmpfile):
+        # ADVICE r03: libtiff/GDAL commonly append the IFD at the END
+        # of the file; the driver-side info parse must seek, not slurp
+        # prefixes. Build an end-IFD variant of our own output by
+        # relocating the IFD block behind the pixel data, then assert
+        # the parse touches O(tags) bytes and returns identical tags.
+        vals = np.arange(40000, dtype=np.uint16).reshape(200, 200)
+        GT.write_geotiff(tmpfile, vals, TRANSFORM)
+        data = open(tmpfile, "rb").read()
+
+        # our writer puts the IFD right after the 8-byte header; move
+        # the whole remainder-minus-pixel layout by rewriting: simplest
+        # robust relocation = append a COPY of everything after the
+        # header and point the header at it
+        e = "<" if data[:2] == b"II" else ">"
+        (old_off,) = struct.unpack(e + "I", data[4:8])
+        shifted = bytearray(data + data[old_off:])
+        new_off = len(data)
+        # entry values with voff pointers still reference the original
+        # (retained) region, so only the IFD table itself moves
+        shifted[4:8] = struct.pack(e + "I", new_off)
+        end_path = tmpfile + ".endifd.tif"
+        with open(end_path, "wb") as f:
+            f.write(bytes(shifted))
+
+        class CountingFile:
+            def __init__(self, f):
+                self._f = f
+                self.bytes_read = 0
+
+            def read(self, n=-1):
+                b = self._f.read(n)
+                self.bytes_read += len(b)
+                return b
+
+            def seek(self, *a):
+                return self._f.seek(*a)
+
+        with open(end_path, "rb") as raw:
+            cf = CountingFile(raw)
+            tags, endian = GT._read_ifd_file(cf)
+        want, _ = GT._read_ifd(data)
+        assert tags == want
+        # whole file is ~80 KB; the parse must touch only tags+tables
+        assert cf.bytes_read < 8192
+
+        info = GT.read_geotiff_info(end_path)
+        assert (info["nx"], info["ny"]) == (200, 200)

@@ -84,7 +84,36 @@ class TestResumableSink:
         man = json.load(open(os.path.join(S._shard_dir(root, s),
                                           S.SHARD_MANIFEST)))
         assert man["key"] == "doc_id"
+        assert man["shards"] == 4
         assert man["rows"] > 0
         md = pq.read_metadata(os.path.join(S._shard_dir(root, s),
                                            man["files"][0]))
         assert md.num_rows == man["rows"]
+
+    def test_resume_with_changed_params_refuses(self, tmp_path):
+        # ADVICE r03: a re-run with a different shard count (or key)
+        # over a partially-written root silently skipped shards whose
+        # data was hashed with a different modulus — must raise instead
+        import pytest
+
+        root = str(tmp_path / "out")
+        S.resumable_parquet_sink(self._ds(200), root, by="doc_id",
+                                 shards=4)
+        with pytest.raises(ValueError, match="shards=4"):
+            S.resumable_parquet_sink(self._ds(200), root, by="doc_id",
+                                     shards=8)
+        with pytest.raises(ValueError, match="key='doc_id'"):
+            S.resumable_parquet_sink(self._ds(200), root, by="other",
+                                     shards=4)
+        # same params: still resumable (all shards skip)
+        m = S.resumable_parquet_sink(self._ds(200), root, by="doc_id",
+                                     shards=4).to_pandas()
+        assert m.skipped.all()
+
+    def test_read_sink_empty_root_raises_clearly(self, tmp_path):
+        import pytest
+
+        root = str(tmp_path / "nothing")
+        os.makedirs(root)
+        with pytest.raises(FileNotFoundError, match="no completed shards"):
+            S.read_sink(root)

@@ -296,6 +296,60 @@ class GallPetersCRS(_EllipsoidalProjectedCRS):
         return PJ.cea_inv(x, y, lat_ts=45.0)
 
 
+class TransverseMercatorCRS(_EllipsoidalProjectedCRS):
+    """General transverse Mercator family (Snyder pp. 60-64) — the
+    projection behind UTM and most national grids; closes the
+    reference's arbitrary-``ProjectedCRS(proj4)`` gap for the tmerc/utm
+    family without pyproj (karta/crs.py:248-298 accepts any proj4
+    string via pyproj; this engine ships closed-form math instead).
+    Forward verified against Snyder's worked example (p. 269: Clarke
+    1866, 40.5N 73.5W, lon_0=-75 -> 127106.5 E, 4484124.4 N)."""
+
+    def __init__(self, *, lon_0: float, lat_0: float = 0.0,
+                 k0: float = 0.9996, fe: float = 0.0, fn: float = 0.0,
+                 name: str | None = None, a: float | None = None,
+                 b: float | None = None):
+        super().__init__()
+        if a is not None:
+            self.a = a
+        if b is not None:
+            self.b = b
+        self.name = name or (f"tmerc_lon0={lon_0:g}_lat0={lat_0:g}"
+                             f"_k0={k0:g}")
+        self._kw = dict(lon_0=lon_0, lat_0=lat_0, k0=k0, fe=fe, fn=fn,
+                        a=self.a, b=self.b)
+        self.ref_proj4 = (
+            f"+proj=tmerc +lat_0={lat_0:g} +lon_0={lon_0:g} +k={k0:g} "
+            f"+x_0={fe:g} +y_0={fn:g} +units=m +ellps=WGS84 "
+            "+datum=WGS84 +no_defs")
+        self.ref_wkt = _projcs(
+            self.name, "Transverse_Mercator",
+            [("latitude_of_origin", lat_0), ("central_meridian", lon_0),
+             ("scale_factor", k0), ("false_easting", fe),
+             ("false_northing", fn)])
+
+    def _fwd(self, lon, lat):
+        from .kernels import projections as PJ
+
+        return PJ.tmerc_fwd(lon, lat, **self._kw)
+
+    def _inv(self, x, y):
+        from .kernels import projections as PJ
+
+        return PJ.tmerc_inv(x, y, **self._kw)
+
+
+def utm_crs(zone: int, south: bool = False) -> "TransverseMercatorCRS":
+    """UTM zone CRS: lon_0 = 6*zone - 183, k0 = 0.9996,
+    FE = 500 km, FN = 10,000 km in the southern hemisphere."""
+    if not 1 <= zone <= 60:
+        raise ValueError(f"UTM zone must be 1..60, got {zone}")
+    return TransverseMercatorCRS(
+        lon_0=6 * zone - 183, k0=0.9996, fe=500_000.0,
+        fn=10_000_000.0 if south else 0.0,
+        name=f"utm_{zone}{'s' if south else 'n'}")
+
+
 Cartesian = CartesianCRS()
 SphericalEarth = SphericalCRS()
 SphericalEarth.name = "spherical"
@@ -430,6 +484,13 @@ def crs_from_proj4(projstring: str) -> CRS:
         return LambertEqualArea
     if proj == "cea":
         return GallPetersEqualArea
+    if proj == "tmerc":
+        return TransverseMercatorCRS(
+            lon_0=float(d.get("lon_0", 0)), lat_0=float(d.get("lat_0", 0)),
+            k0=float(d.get("k", d.get("k_0", 1))),
+            fe=float(d.get("x_0", 0)), fn=float(d.get("y_0", 0)))
+    if proj == "utm":
+        return utm_crs(int(d["zone"]), south="south" in d)
     raise ValueError(f"cannot resolve proj4 string {projstring!r}")
 
 
@@ -469,6 +530,12 @@ def crs_from_wkt(wkt: str) -> CRS:
         return LambertEqualArea
     if projection == "Cylindrical_Equal_Area":
         return GallPetersEqualArea
+    if projection == "Transverse_Mercator":
+        return TransverseMercatorCRS(
+            lon_0=p.get("central_meridian", 0),
+            lat_0=p.get("latitude_of_origin", 0),
+            k0=p.get("scale_factor", 1),
+            fe=p.get("false_easting", 0), fn=p.get("false_northing", 0))
     raise ValueError(f"cannot resolve WKT projection {projection!r}")
 
 

@@ -249,3 +249,92 @@ def cea_inv(x, y, *, lat_ts: float = 45.0, lon_0: float = 0.0,
     lon = lon_0 * D2R + x / (a * k0)
     lon = (lon + np.pi) % (2.0 * np.pi) - np.pi
     return lon / D2R, lat / D2R
+
+
+# ---------------------------------------------------------------------------
+# Transverse Mercator (Snyder pp. 60-64, eqs. 8-9..8-25 + 3-21/3-26/7-19)
+# — the general family behind UTM and most national grids; series
+# accurate to < 1 mm within several degrees of the central meridian.
+# ---------------------------------------------------------------------------
+
+def _meridian_arc(phi, a: float, e2: float):
+    """Snyder 3-21: meridian distance from the equator, M(phi)."""
+    e4 = e2 * e2
+    e6 = e4 * e2
+    return a * ((1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0) * phi
+                - (3.0 * e2 / 8.0 + 3.0 * e4 / 32.0
+                   + 45.0 * e6 / 1024.0) * np.sin(2.0 * phi)
+                + (15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0)
+                * np.sin(4.0 * phi)
+                - (35.0 * e6 / 3072.0) * np.sin(6.0 * phi))
+
+
+def tmerc_fwd(lon, lat, *, lon_0: float, lat_0: float = 0.0,
+              k0: float = 0.9996, fe: float = 0.0, fn: float = 0.0,
+              a: float = WGS84_A, b: float = WGS84_B):
+    lon = np.asarray(lon, dtype=np.float64) * D2R
+    phi = np.asarray(lat, dtype=np.float64) * D2R
+    e = _eccentricity(a, b)
+    e2 = e * e
+    ep2 = e2 / (1.0 - e2)
+    dlam = lon - lon_0 * D2R
+    dlam = (dlam + np.pi) % (2.0 * np.pi) - np.pi
+    sphi = np.sin(phi)
+    cphi = np.cos(phi)
+    N = a / np.sqrt(1.0 - e2 * sphi * sphi)          # 4-20
+    T = (sphi / cphi) ** 2                           # 8-13
+    C = ep2 * cphi * cphi                            # 8-14
+    A = dlam * cphi                                  # 8-15
+    M = _meridian_arc(phi, a, e2)
+    M0 = _meridian_arc(np.float64(lat_0 * D2R), a, e2)
+    A2 = A * A
+    x = fe + k0 * N * (A + (1.0 - T + C) * A * A2 / 6.0
+                       + (5.0 - 18.0 * T + T * T + 72.0 * C
+                          - 58.0 * ep2) * A * A2 * A2 / 120.0)   # 8-9
+    y = fn + k0 * (M - M0 + N * (sphi / cphi)
+                   * (A2 / 2.0
+                      + (5.0 - T + 9.0 * C + 4.0 * C * C) * A2 * A2 / 24.0
+                      + (61.0 - 58.0 * T + T * T + 600.0 * C
+                         - 330.0 * ep2) * A2 * A2 * A2 / 720.0))  # 8-10
+    return x, y
+
+
+def tmerc_inv(x, y, *, lon_0: float, lat_0: float = 0.0,
+              k0: float = 0.9996, fe: float = 0.0, fn: float = 0.0,
+              a: float = WGS84_A, b: float = WGS84_B):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    e = _eccentricity(a, b)
+    e2 = e * e
+    ep2 = e2 / (1.0 - e2)
+    M0 = _meridian_arc(np.float64(lat_0 * D2R), a, e2)
+    M = M0 + (y - fn) / k0                            # 8-20
+    mu = M / (a * (1.0 - e2 / 4.0 - 3.0 * e2 * e2 / 64.0
+                   - 5.0 * e2 * e2 * e2 / 256.0))     # 7-19
+    e1 = (1.0 - np.sqrt(1.0 - e2)) / (1.0 + np.sqrt(1.0 - e2))  # 3-24
+    phi1 = (mu + (3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0) * np.sin(2.0 * mu)
+            + (21.0 * e1 ** 2 / 16.0 - 55.0 * e1 ** 4 / 32.0)
+            * np.sin(4.0 * mu)
+            + (151.0 * e1 ** 3 / 96.0) * np.sin(6.0 * mu)
+            + (1097.0 * e1 ** 4 / 512.0) * np.sin(8.0 * mu))  # 3-26
+    s1 = np.sin(phi1)
+    c1 = np.cos(phi1)
+    t1 = s1 / c1
+    C1 = ep2 * c1 * c1                                # 8-21
+    T1 = t1 * t1                                      # 8-22
+    N1 = a / np.sqrt(1.0 - e2 * s1 * s1)              # 8-23
+    R1 = a * (1.0 - e2) / (1.0 - e2 * s1 * s1) ** 1.5  # 8-24
+    D = (x - fe) / (N1 * k0)                          # 8-25
+    D2 = D * D
+    phi = phi1 - (N1 * t1 / R1) * (
+        D2 / 2.0
+        - (5.0 + 3.0 * T1 + 10.0 * C1 - 4.0 * C1 * C1
+           - 9.0 * ep2) * D2 * D2 / 24.0
+        + (61.0 + 90.0 * T1 + 298.0 * C1 + 45.0 * T1 * T1
+           - 252.0 * ep2 - 3.0 * C1 * C1) * D2 * D2 * D2 / 720.0)  # 8-17
+    lam = lon_0 * D2R + (
+        D - (1.0 + 2.0 * T1 + C1) * D * D2 / 6.0
+        + (5.0 - 2.0 * C1 + 28.0 * T1 - 3.0 * C1 * C1 + 8.0 * ep2
+           + 24.0 * T1 * T1) * D * D2 * D2 / 120.0) / c1            # 8-18
+    lam = (lam + np.pi) % (2.0 * np.pi) - np.pi
+    return lam / D2R, phi / D2R

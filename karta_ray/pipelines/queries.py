@@ -325,16 +325,17 @@ def q_geotiff_grid(sf_dir: str):
     tiles = read_geotiff_dataset(path, strips_per_task=4)
 
     def cells_from_tiles(batch: pa.Table) -> pa.Table:
+        # rows are strip records (dozens per batch), not data rows; one
+        # to_pylist per column, then vectorized nonzero per strip
         out_gi, out_gj, out_n = [], [], []
-        for r in range(batch.num_rows):
-            h = batch.column("pny")[r].as_py()
-            w = batch.column("pnx")[r].as_py()
-            vals = np.frombuffer(batch.column("values")[r].as_py(),
-                                 dtype=np.dtype(
-                                     batch.column("dtype")[r].as_py())
-                                 ).reshape(h, w)
-            i0 = batch.column("i0")[r].as_py()
-            j0 = batch.column("j0")[r].as_py()
+        hs = batch.column("pny").to_pylist()
+        ws = batch.column("pnx").to_pylist()
+        bufs = batch.column("values").to_pylist()
+        dts = batch.column("dtype").to_pylist()
+        i0s = batch.column("i0").to_pylist()
+        j0s = batch.column("j0").to_pylist()
+        for h, w, buf, dt, i0, j0 in zip(hs, ws, bufs, dts, i0s, j0s):
+            vals = np.frombuffer(buf, dtype=np.dtype(dt)).reshape(h, w)
             ii, jj = np.nonzero(vals)
             out_gi.append(jj + j0)
             out_gj.append(ii + i0)

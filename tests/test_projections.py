@@ -202,3 +202,83 @@ class TestCRSSerialization:
             is C.LonLatWGS84
         assert C.crs_from_proj4("+proj=latlong +ellps=sphere") \
             is C.SphericalEarth
+
+
+class TestTransverseMercator:
+    def test_snyder_worked_example(self):
+        # Snyder 1987 p. 269-270: Clarke 1866, phi=40d30'N lam=73d30'W,
+        # lon_0=-75, k0=0.9996 -> x=127106.5 E, y=4484124.4 N
+        from karta_ray.kernels import projections as PJ
+
+        a, es = 6378206.4, 0.00676866
+        b = a * np.sqrt(1 - es)
+        x, y = PJ.tmerc_fwd(-73.5, 40.5, lon_0=-75.0, k0=0.9996, a=a, b=b)
+        assert abs(float(x) - 127106.5) < 0.1
+        assert abs(float(y) - 4484124.4) < 0.1
+        lon, lat = PJ.tmerc_inv(x, y, lon_0=-75.0, k0=0.9996, a=a, b=b)
+        assert abs(float(lon) + 73.5) < 1e-8
+        assert abs(float(lat) - 40.5) < 1e-8
+
+    def test_utm_round_trip_lattice(self):
+        from karta_ray.crs import utm_crs
+
+        utm33 = utm_crs(33)  # lon_0 = 15
+        lons = np.linspace(11, 19, 9)
+        lats = np.linspace(-80, 80, 17)
+        LO, LA = np.meshgrid(lons, lats)
+        x, y = utm33.project(LO.ravel(), LA.ravel())
+        lo2, la2 = utm33.project(x, y, inverse=True)
+        assert np.abs(lo2 - LO.ravel()).max() < 1e-6
+        assert np.abs(la2 - LA.ravel()).max() < 1e-6
+        # central meridian maps to FE, equator to FN=0 (north)
+        x0, y0 = utm33.project(np.array([15.0]), np.array([0.0]))
+        assert abs(float(x0) - 500_000.0) < 1e-6
+        assert abs(float(y0)) < 1e-6
+        # southern variant offsets northing by 10,000 km
+        utm33s = utm_crs(33, south=True)
+        _, ys = utm33s.project(np.array([15.0]), np.array([0.0]))
+        assert abs(float(ys) - 10_000_000.0) < 1e-6
+
+    def test_scale_factor_on_central_meridian(self):
+        # k0 = 0.9996 on the CM: projected meridian distance =
+        # 0.9996 x ellipsoidal meridian distance
+        from karta_ray.crs import TransverseMercatorCRS
+        from karta_ray.kernels import karney
+
+        tm = TransverseMercatorCRS(lon_0=21.0)
+        x1, y1 = tm.project(np.array([21.0]), np.array([40.0]))
+        x2, y2 = tm.project(np.array([21.0]), np.array([40.1]))
+        _, _, dist = karney.inverse_vec(karney.WGS84_A, karney.WGS84_B,
+                                        np.array([21.0]), np.array([40.0]),
+                                        np.array([21.0]), np.array([40.1]))
+        assert abs(float(y2 - y1) / float(dist) - 0.9996) < 1e-7
+
+    def test_proj4_wkt_round_trip(self):
+        from karta_ray import crs as C
+
+        tm = C.TransverseMercatorCRS(lon_0=9.0, k0=0.9996, fe=500000.0)
+        back = C.crs_from_proj4(tm.ref_proj4)
+        assert back._kw["lon_0"] == 9.0 and back._kw["fe"] == 500000.0
+        assert back._kw["k0"] == 0.9996
+        backw = C.crs_from_wkt(tm.ref_wkt)
+        assert backw._kw["lon_0"] == 9.0 and backw._kw["fn"] == 0.0
+        # proj4 utm spelling
+        u = C.crs_from_proj4("+proj=utm +zone=31 +datum=WGS84")
+        assert u._kw["lon_0"] == 3.0 and u._kw["fe"] == 500000.0
+        us = C.crs_from_proj4("+proj=utm +zone=31 +south +datum=WGS84")
+        assert us._kw["fn"] == 10_000_000.0
+        # identical projection outputs after the round trip
+        x1, y1 = tm.project(np.array([8.3]), np.array([47.1]))
+        x2, y2 = back.project(np.array([8.3]), np.array([47.1]))
+        assert float(x1) == float(x2) and float(y1) == float(y2)
+
+    def test_geodesics_inherited(self):
+        # forward/inverse remain ellipsoidal geodesics (reference
+        # ProjectedCRS semantics, karta/crs.py:280-298)
+        from karta_ray.crs import LonLatWGS84, utm_crs
+
+        tm = utm_crs(32)
+        az, baz, dist = tm.inverse(8.0, 50.0, 9.5, 51.0)
+        az2, baz2, dist2 = LonLatWGS84.inverse(8.0, 50.0, 9.5, 51.0)
+        assert abs(float(dist) - float(dist2)) < 1e-6
+        assert abs(float(az) - float(az2)) < 1e-9

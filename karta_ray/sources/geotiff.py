@@ -68,11 +68,12 @@ _FIELD = {1: ("B", 1), 2: ("c", 1), 3: ("H", 2), 4: ("I", 4),
           6: ("b", 1), 8: ("h", 2), 9: ("i", 4), 11: ("f", 4),
           12: ("d", 8), 16: ("Q", 8), 17: ("q", 8)}
 
-# (sample_format, bits) <-> numpy dtype; the reference's GDT ladder
-# (karta/raster/_gdal.py:27-45) minus the complex types GDAL folds.
+# (sample_format, bits) <-> numpy dtype; covers the reference's full
+# GDT ladder (karta/raster/_gdal.py:27-45) including the complex IEEE
+# types (TIFF SAMPLEFORMAT_COMPLEXIEEEFP = 6: GDAL CFloat32/CFloat64).
 _DTYPES = {(1, 8): "u1", (1, 16): "u2", (1, 32): "u4", (1, 64): "u8",
            (2, 8): "i1", (2, 16): "i2", (2, 32): "i4", (2, 64): "i8",
-           (3, 32): "f4", (3, 64): "f8"}
+           (3, 32): "f4", (3, 64): "f8", (6, 64): "c8", (6, 128): "c16"}
 _DTYPES_INV = {v: k for k, v in _DTYPES.items()}
 
 # CRS tag -> (GTModelType, EPSG code) for CRSs with a closed-form EPSG
@@ -565,7 +566,7 @@ def write_geotiff(path: str, values, transform, *, crs=None, nodata=None,
     comp = _COMPRESS_IDS[comp_name]
     if predictor is None:
         predictor = comp != 1 and sfmt in (1, 2)
-    if predictor and sfmt == 3:
+    if predictor and sfmt not in (1, 2):
         raise ValueError("predictor=2 needs integer samples")
 
     # north-down, chunky-interleaved sample stream

@@ -378,3 +378,26 @@ class TestSeekBasedIfdParse:
 
         info = GT.read_geotiff_info(end_path)
         assert (info["nx"], info["ny"]) == (200, 200)
+
+
+class TestComplexDtypes:
+    def test_complex_round_trip(self, tmpfile):
+        # reference GDT ladder includes CFloat32/CFloat64
+        # (karta/raster/_gdal.py:27-45); TIFF SAMPLEFORMAT 6
+        for dt in (np.complex64, np.complex128):
+            vals = (np.arange(20 * 15).reshape(20, 15)
+                    + 1j * np.arange(20 * 15)[::-1].reshape(20, 15)) \
+                .astype(dt)
+            GT.write_geotiff(tmpfile, vals, TRANSFORM, compress="deflate")
+            info = GT.read_geotiff_info(tmpfile)
+            assert info["dtype"].kind == "c"
+            got, transform, _, _ = GT.read_geotiff(tmpfile)
+            assert got.dtype == dt
+            assert np.array_equal(got[0] if got.ndim == 3 else got, vals)
+            assert transform == TRANSFORM
+
+    def test_predictor_rejected_for_complex(self, tmpfile):
+        vals = np.ones((4, 4), np.complex64)
+        with pytest.raises(ValueError, match="predictor"):
+            GT.write_geotiff(tmpfile, vals, TRANSFORM, compress="deflate",
+                             predictor=True)

@@ -30,6 +30,25 @@ import numpy as np
 from .kernels import geodesy, karney
 
 
+_WGS84_GEOGCS = (
+    'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+    '298.257223563,AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],'
+    'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
+    'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]],'
+    'AUTHORITY["EPSG","4326"]]')
+_SPHERE_GEOGCS = (
+    'GEOGCS["unnamed ellipse",DATUM["unknown",'
+    'SPHEROID["sphere",6370997,0]],PRIMEM["Greenwich",0],'
+    'UNIT["degree",0.0174532925199433]]')
+
+
+def _projcs(name: str, projection: str, params: list[tuple[str, float]],
+            geogcs: str = _WGS84_GEOGCS) -> str:
+    ps = ",".join(f'PARAMETER["{k}",{v:g}]' for k, v in params)
+    return (f'PROJCS["{name}",{geogcs},PROJECTION["{projection}"],{ps},'
+            'UNIT["metre",1,AUTHORITY["EPSG","9001"]]]')
+
+
 class CRS:
     name: str = "base"
     kind: str = "cartesian"  # "cartesian" | "geographical"
@@ -249,6 +268,16 @@ class PolarStereographicCRS(_EllipsoidalProjectedCRS):
         self.name = name
         self._kw = dict(lat_ts=lat_ts, lon_0=lon_0, k0=k0, fe=fe, fn=fn,
                         south=south, a=self.a, b=self.b)
+        lat_0 = -90 if south else 90
+        self.ref_proj4 = (
+            f"+proj=stere +lat_0={lat_0:g} +lat_ts={lat_ts:g} "
+            f"+lon_0={lon_0:g} +k={k0:g} +x_0={fe:g} +y_0={fn:g} "
+            "+units=m +ellps=WGS84 +datum=WGS84 +no_defs")
+        self.ref_wkt = _projcs(
+            name, "Polar_Stereographic",
+            [("latitude_of_origin", lat_ts), ("central_meridian", lon_0),
+             ("scale_factor", k0), ("false_easting", fe),
+             ("false_northing", fn)])
 
     def _fwd(self, lon, lat):
         from .kernels import projections as PJ
@@ -339,6 +368,89 @@ class TransverseMercatorCRS(_EllipsoidalProjectedCRS):
         return PJ.tmerc_inv(x, y, **self._kw)
 
 
+class LambertConformalConicCRS(_EllipsoidalProjectedCRS):
+    """Lambert conformal conic, 2 standard parallels (Snyder
+    pp. 104-110) — the State-Plane / national-grid conic family;
+    extends the closed-form coverage of the reference's arbitrary
+    ``ProjectedCRS(proj4)`` (karta/crs.py:248-298).  Forward verified
+    against Snyder's worked example (p. 296)."""
+
+    def __init__(self, *, lon_0: float, lat_0: float, lat_1: float,
+                 lat_2: float | None = None, fe: float = 0.0,
+                 fn: float = 0.0, name: str | None = None,
+                 a: float | None = None, b: float | None = None):
+        super().__init__()
+        if a is not None:
+            self.a = a
+        if b is not None:
+            self.b = b
+        if lat_2 is None:
+            lat_2 = lat_1
+        self.name = name or f"lcc_{lat_1:g}_{lat_2:g}_lon0={lon_0:g}"
+        self._kw = dict(lon_0=lon_0, lat_0=lat_0, lat_1=lat_1,
+                        lat_2=lat_2, fe=fe, fn=fn, a=self.a, b=self.b)
+        self.ref_proj4 = (
+            f"+proj=lcc +lat_1={lat_1:g} +lat_2={lat_2:g} "
+            f"+lat_0={lat_0:g} +lon_0={lon_0:g} +x_0={fe:g} +y_0={fn:g} "
+            "+units=m +ellps=WGS84 +datum=WGS84 +no_defs")
+        self.ref_wkt = _projcs(
+            self.name, "Lambert_Conformal_Conic_2SP",
+            [("standard_parallel_1", lat_1), ("standard_parallel_2", lat_2),
+             ("latitude_of_origin", lat_0), ("central_meridian", lon_0),
+             ("false_easting", fe), ("false_northing", fn)])
+
+    def _fwd(self, lon, lat):
+        from .kernels import projections as PJ
+
+        return PJ.lcc_fwd(lon, lat, **self._kw)
+
+    def _inv(self, x, y):
+        from .kernels import projections as PJ
+
+        return PJ.lcc_inv(x, y, **self._kw)
+
+
+class AlbersEqualAreaCRS(_EllipsoidalProjectedCRS):
+    """Albers equal-area conic, 2 standard parallels (Snyder
+    pp. 98-103) — the continental-statistics conic (US National Atlas
+    et al.).  Forward verified against Snyder's worked example
+    (p. 292)."""
+
+    def __init__(self, *, lon_0: float, lat_0: float, lat_1: float,
+                 lat_2: float | None = None, fe: float = 0.0,
+                 fn: float = 0.0, name: str | None = None,
+                 a: float | None = None, b: float | None = None):
+        super().__init__()
+        if a is not None:
+            self.a = a
+        if b is not None:
+            self.b = b
+        if lat_2 is None:
+            lat_2 = lat_1
+        self.name = name or f"aea_{lat_1:g}_{lat_2:g}_lon0={lon_0:g}"
+        self._kw = dict(lon_0=lon_0, lat_0=lat_0, lat_1=lat_1,
+                        lat_2=lat_2, fe=fe, fn=fn, a=self.a, b=self.b)
+        self.ref_proj4 = (
+            f"+proj=aea +lat_1={lat_1:g} +lat_2={lat_2:g} "
+            f"+lat_0={lat_0:g} +lon_0={lon_0:g} +x_0={fe:g} +y_0={fn:g} "
+            "+units=m +ellps=WGS84 +datum=WGS84 +no_defs")
+        self.ref_wkt = _projcs(
+            self.name, "Albers_Conic_Equal_Area",
+            [("standard_parallel_1", lat_1), ("standard_parallel_2", lat_2),
+             ("latitude_of_center", lat_0), ("longitude_of_center", lon_0),
+             ("false_easting", fe), ("false_northing", fn)])
+
+    def _fwd(self, lon, lat):
+        from .kernels import projections as PJ
+
+        return PJ.aea_fwd(lon, lat, **self._kw)
+
+    def _inv(self, x, y):
+        from .kernels import projections as PJ
+
+        return PJ.aea_inv(x, y, **self._kw)
+
+
 def utm_crs(zone: int, south: bool = False) -> "TransverseMercatorCRS":
     """UTM zone CRS: lon_0 = 6*zone - 183, k0 = 0.9996,
     FE = 500 km, FN = 10,000 km in the southern hemisphere."""
@@ -369,25 +481,6 @@ GallPetersEqualArea = GallPetersCRS()
 # --- proj4 / WKT serialization strings (public proj.4 / OGC WKT1
 # notation; parameter values match the reference's predefined instances,
 # karta/crs.py:353-394, and GDAL's WKT1 emission conventions) ----------
-
-_WGS84_GEOGCS = (
-    'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
-    '298.257223563,AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],'
-    'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
-    'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]],'
-    'AUTHORITY["EPSG","4326"]]')
-_SPHERE_GEOGCS = (
-    'GEOGCS["unnamed ellipse",DATUM["unknown",'
-    'SPHEROID["sphere",6370997,0]],PRIMEM["Greenwich",0],'
-    'UNIT["degree",0.0174532925199433]]')
-
-
-def _projcs(name: str, projection: str, params: list[tuple[str, float]],
-            geogcs: str = _WGS84_GEOGCS) -> str:
-    ps = ",".join(f'PARAMETER["{k}",{v:g}]' for k, v in params)
-    return (f'PROJCS["{name}",{geogcs},PROJECTION["{projection}"],{ps},'
-            'UNIT["metre",1,AUTHORITY["EPSG","9001"]]]')
-
 
 SphericalEarth.ref_proj4 = "+proj=lonlat +ellps=sphere +datum=WGS84"
 SphericalEarth.ref_wkt = _SPHERE_GEOGCS
@@ -474,12 +567,21 @@ def crs_from_proj4(projstring: str) -> CRS:
         lat_ts = float(d.get("lat_ts", d.get("lat_0", 90)))
         lon_0 = float(d.get("lon_0", 0))
         k = float(d.get("k", d.get("k_0", 1)))
+        fe = float(d.get("x_0", 0))
+        fn = float(d.get("y_0", 0))
         for crs in (UPSNorth, UPSSouth, NSIDCNorth, NSIDCSouth):
             if (abs(crs._kw["lat_ts"] - lat_ts) < 1e-9
                     and abs(crs._kw["lon_0"] - lon_0) < 1e-9
-                    and abs(crs._kw["k0"] - k) < 1e-9):
+                    and abs(crs._kw["k0"] - k) < 1e-9
+                    and abs(crs._kw["fe"] - fe) < 1e-9):
                 return crs
-        raise ValueError(f"unsupported polar stereographic: {projstring}")
+        lat_0 = float(d.get("lat_0", 90 if lat_ts >= 0 else -90))
+        if abs(abs(lat_0) - 90) > 1e-9:
+            raise ValueError(
+                f"only polar-aspect stereographic supported: {projstring}")
+        return PolarStereographicCRS(
+            f"stere_latts={lat_ts:g}_lon0={lon_0:g}", lat_ts=lat_ts,
+            lon_0=lon_0, k0=k, fe=fe, fn=fn, south=lat_0 < 0)
     if proj == "laea":
         return LambertEqualArea
     if proj == "cea":
@@ -491,6 +593,18 @@ def crs_from_proj4(projstring: str) -> CRS:
             fe=float(d.get("x_0", 0)), fn=float(d.get("y_0", 0)))
     if proj == "utm":
         return utm_crs(int(d["zone"]), south="south" in d)
+    if proj == "lcc":
+        return LambertConformalConicCRS(
+            lon_0=float(d.get("lon_0", 0)), lat_0=float(d.get("lat_0", 0)),
+            lat_1=float(d["lat_1"]),
+            lat_2=float(d["lat_2"]) if "lat_2" in d else None,
+            fe=float(d.get("x_0", 0)), fn=float(d.get("y_0", 0)))
+    if proj == "aea":
+        return AlbersEqualAreaCRS(
+            lon_0=float(d.get("lon_0", 0)), lat_0=float(d.get("lat_0", 0)),
+            lat_1=float(d["lat_1"]),
+            lat_2=float(d["lat_2"]) if "lat_2" in d else None,
+            fe=float(d.get("x_0", 0)), fn=float(d.get("y_0", 0)))
     raise ValueError(f"cannot resolve proj4 string {projstring!r}")
 
 
@@ -520,12 +634,17 @@ def crs_from_wkt(wkt: str) -> CRS:
         lat = p.get("latitude_of_origin", 90)
         lon = p.get("central_meridian", 0)
         k = p.get("scale_factor", 1)
+        fe = p.get("false_easting", 0)
+        fn = p.get("false_northing", 0)
         for crs in (UPSNorth, UPSSouth, NSIDCNorth, NSIDCSouth):
             if (abs(crs._kw["lat_ts"] - lat) < 1e-9
                     and abs(crs._kw["lon_0"] - lon) < 1e-9
-                    and abs(crs._kw["k0"] - k) < 1e-9):
+                    and abs(crs._kw["k0"] - k) < 1e-9
+                    and abs(crs._kw["fe"] - fe) < 1e-9):
                 return crs
-        raise ValueError(f"unsupported polar stereographic WKT: {wkt}")
+        return PolarStereographicCRS(
+            f"stere_latts={lat:g}_lon0={lon:g}", lat_ts=lat, lon_0=lon,
+            k0=k, fe=fe, fn=fn, south=lat < 0)
     if projection == "Lambert_Azimuthal_Equal_Area":
         return LambertEqualArea
     if projection == "Cylindrical_Equal_Area":
@@ -535,6 +654,21 @@ def crs_from_wkt(wkt: str) -> CRS:
             lon_0=p.get("central_meridian", 0),
             lat_0=p.get("latitude_of_origin", 0),
             k0=p.get("scale_factor", 1),
+            fe=p.get("false_easting", 0), fn=p.get("false_northing", 0))
+    if projection == "Lambert_Conformal_Conic_2SP":
+        return LambertConformalConicCRS(
+            lon_0=p.get("central_meridian", 0),
+            lat_0=p.get("latitude_of_origin", 0),
+            lat_1=p["standard_parallel_1"],
+            lat_2=p.get("standard_parallel_2"),
+            fe=p.get("false_easting", 0), fn=p.get("false_northing", 0))
+    if projection == "Albers_Conic_Equal_Area":
+        return AlbersEqualAreaCRS(
+            lon_0=p.get("longitude_of_center", p.get("central_meridian", 0)),
+            lat_0=p.get("latitude_of_center",
+                        p.get("latitude_of_origin", 0)),
+            lat_1=p["standard_parallel_1"],
+            lat_2=p.get("standard_parallel_2"),
             fe=p.get("false_easting", 0), fn=p.get("false_northing", 0))
     raise ValueError(f"cannot resolve WKT projection {projection!r}")
 

@@ -338,3 +338,126 @@ def tmerc_inv(x, y, *, lon_0: float, lat_0: float = 0.0,
            + 24.0 * T1 * T1) * D * D2 * D2 / 120.0) / c1            # 8-18
     lam = (lam + np.pi) % (2.0 * np.pi) - np.pi
     return lam / D2R, phi / D2R
+
+
+# ---------------------------------------------------------------------------
+# Lambert conformal conic, 2 standard parallels (Snyder pp. 104-110,
+# eqs. 15-1..15-11, inverse via conformal-latitude series 3-5) — the
+# projection behind most US State Plane / Canadian / European national
+# conic grids.  Forward verified against Snyder's worked example
+# (p. 296: Clarke 1866, sp 33/45, origin 23N 96W, point 35N 75W ->
+# 1,894,410.9 E, 1,564,649.5 N).
+# ---------------------------------------------------------------------------
+
+def _lcc_m(phi, e):
+    """Snyder 14-15: m = cos(phi) / sqrt(1 - e^2 sin^2 phi)."""
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - e * e * s * s)
+
+
+def _lcc_consts(lat_1, lat_2, lat_0, a, b):
+    e = _eccentricity(a, b)
+    p1 = lat_1 * D2R
+    p2 = lat_2 * D2R
+    p0 = lat_0 * D2R
+    m1 = _lcc_m(p1, e)
+    t1 = _ts(p1, e)
+    t0 = _ts(p0, e)
+    if abs(lat_1 - lat_2) < 1e-12:
+        n = np.sin(p1)                                 # 15-4 limit (1SP)
+    else:
+        m2 = _lcc_m(p2, e)
+        t2 = _ts(p2, e)
+        n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))  # 15-8
+    F = m1 / (n * t1 ** n)                             # 15-10
+    rho0 = a * F * t0 ** n                             # 15-7a
+    return e, n, F, rho0
+
+
+def lcc_fwd(lon, lat, *, lon_0: float, lat_0: float, lat_1: float,
+            lat_2: float, fe: float = 0.0, fn: float = 0.0,
+            a: float = WGS84_A, b: float = WGS84_B):
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    e, n, F, rho0 = _lcc_consts(lat_1, lat_2, lat_0, a, b)
+    t = _ts(lat * D2R, e)
+    rho = a * F * t ** n                               # 15-7
+    dlam = (lon - lon_0 + 180.0) % 360.0 - 180.0
+    theta = n * dlam * D2R                             # 14-4
+    return rho * np.sin(theta) + fe, rho0 - rho * np.cos(theta) + fn
+
+
+def lcc_inv(x, y, *, lon_0: float, lat_0: float, lat_1: float,
+            lat_2: float, fe: float = 0.0, fn: float = 0.0,
+            a: float = WGS84_A, b: float = WGS84_B):
+    x = np.asarray(x, dtype=np.float64) - fe
+    y = np.asarray(y, dtype=np.float64) - fn
+    e, n, F, rho0 = _lcc_consts(lat_1, lat_2, lat_0, a, b)
+    sgn = 1.0 if n >= 0 else -1.0
+    rho = sgn * np.hypot(x, rho0 - y)                  # 14-10
+    theta = np.arctan2(sgn * x, sgn * (rho0 - y))      # 14-11
+    t = (rho / (a * F)) ** (1.0 / n)                   # 15-11
+    chi = np.pi / 2.0 - 2.0 * np.arctan(t)            # 7-13
+    phi = _conformal_to_geodetic(chi, e)               # 3-5
+    lam = theta / n + lon_0 * D2R
+    lam = (lam + np.pi) % (2.0 * np.pi) - np.pi
+    return lam / D2R, phi / D2R
+
+
+# ---------------------------------------------------------------------------
+# Albers equal-area conic, 2 standard parallels (Snyder pp. 98-103,
+# eqs. 14-1..14-11, inverse via authalic-latitude series 3-18) — the
+# standard continental-statistics projection (e.g. US National Atlas).
+# Forward verified against Snyder's worked example (p. 292: Clarke
+# 1866, sp 29.5/45.5, origin 23N 96W, point 35N 75W ->
+# 1,885,472.7 E, 1,535,925.0 N).
+# ---------------------------------------------------------------------------
+
+def _aea_consts(lat_1, lat_2, lat_0, a, b):
+    e = _eccentricity(a, b)
+    p1 = lat_1 * D2R
+    p2 = lat_2 * D2R
+    p0 = lat_0 * D2R
+    m1 = _lcc_m(p1, e)
+    q1 = _authalic_q(p1, e)
+    q0 = _authalic_q(p0, e)
+    if abs(lat_1 - lat_2) < 1e-12:
+        n = np.sin(p1)                                 # 14-14 limit (1SP)
+    else:
+        m2 = _lcc_m(p2, e)
+        q2 = _authalic_q(p2, e)
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)            # 14-14
+    C = m1 * m1 + n * q1                               # 14-13
+    rho0 = a * np.sqrt(C - n * q0) / n                 # 14-12a
+    return e, n, C, rho0
+
+
+def aea_fwd(lon, lat, *, lon_0: float, lat_0: float, lat_1: float,
+            lat_2: float, fe: float = 0.0, fn: float = 0.0,
+            a: float = WGS84_A, b: float = WGS84_B):
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    e, n, C, rho0 = _aea_consts(lat_1, lat_2, lat_0, a, b)
+    q = _authalic_q(lat * D2R, e)
+    rho = a * np.sqrt(C - n * q) / n                   # 14-12
+    dlam = (lon - lon_0 + 180.0) % 360.0 - 180.0
+    theta = n * dlam * D2R                             # 14-4
+    return rho * np.sin(theta) + fe, rho0 - rho * np.cos(theta) + fn
+
+
+def aea_inv(x, y, *, lon_0: float, lat_0: float, lat_1: float,
+            lat_2: float, fe: float = 0.0, fn: float = 0.0,
+            a: float = WGS84_A, b: float = WGS84_B):
+    x = np.asarray(x, dtype=np.float64) - fe
+    y = np.asarray(y, dtype=np.float64) - fn
+    e, n, C, rho0 = _aea_consts(lat_1, lat_2, lat_0, a, b)
+    sgn = 1.0 if n >= 0 else -1.0
+    rho = np.hypot(x, rho0 - y)
+    theta = np.arctan2(sgn * x, sgn * (rho0 - y))      # 14-11
+    q = (C - (rho * n / a) ** 2) / n                   # 14-19
+    qp = _authalic_q(np.pi / 2.0, e)
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))       # 3-11
+    phi = _authalic_to_geodetic(beta, e)               # 3-18
+    lam = theta / n + lon_0 * D2R
+    lam = (lam + np.pi) % (2.0 * np.pi) - np.pi
+    return lam / D2R, phi / D2R

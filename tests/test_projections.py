@@ -282,3 +282,138 @@ class TestTransverseMercator:
         az2, baz2, dist2 = LonLatWGS84.inverse(8.0, 50.0, 9.5, 51.0)
         assert abs(float(dist) - float(dist2)) < 1e-6
         assert abs(float(az) - float(az2)) < 1e-9
+
+
+class TestConicFamilies:
+    # Snyder 1987 worked examples, both on Clarke 1866
+    CLARKE_A, CLARKE_B = 6378206.4, 6356583.8
+
+    def test_lcc_snyder_worked_example(self):
+        # Snyder p. 296: sp 33/45, origin 23N 96W, point 35N 75W
+        from karta_ray.kernels import projections as PJ
+
+        x, y = PJ.lcc_fwd(-75.0, 35.0, lon_0=-96.0, lat_0=23.0,
+                          lat_1=33.0, lat_2=45.0,
+                          a=self.CLARKE_A, b=self.CLARKE_B)
+        assert abs(float(x) - 1_894_410.9) < 0.5
+        assert abs(float(y) - 1_564_649.5) < 0.5
+        lon, lat = PJ.lcc_inv(x, y, lon_0=-96.0, lat_0=23.0,
+                              lat_1=33.0, lat_2=45.0,
+                              a=self.CLARKE_A, b=self.CLARKE_B)
+        assert abs(float(lon) + 75.0) < 1e-8
+        assert abs(float(lat) - 35.0) < 1e-8
+
+    def test_aea_snyder_worked_example(self):
+        # Snyder p. 292: sp 29.5/45.5, origin 23N 96W, point 35N 75W
+        from karta_ray.kernels import projections as PJ
+
+        x, y = PJ.aea_fwd(-75.0, 35.0, lon_0=-96.0, lat_0=23.0,
+                          lat_1=29.5, lat_2=45.5,
+                          a=self.CLARKE_A, b=self.CLARKE_B)
+        assert abs(float(x) - 1_885_472.7) < 0.5
+        assert abs(float(y) - 1_535_925.0) < 0.5
+        lon, lat = PJ.aea_inv(x, y, lon_0=-96.0, lat_0=23.0,
+                              lat_1=29.5, lat_2=45.5,
+                              a=self.CLARKE_A, b=self.CLARKE_B)
+        assert abs(float(lon) + 75.0) < 1e-8
+        assert abs(float(lat) - 35.0) < 1e-8
+
+    def test_round_trip_lattices(self):
+        from karta_ray.crs import (AlbersEqualAreaCRS,
+                                   LambertConformalConicCRS)
+
+        lcc = LambertConformalConicCRS(lon_0=-96.0, lat_0=23.0,
+                                       lat_1=33.0, lat_2=45.0)
+        aea = AlbersEqualAreaCRS(lon_0=-96.0, lat_0=23.0,
+                                 lat_1=29.5, lat_2=45.5)
+        lons = np.linspace(-130, -60, 8)
+        lats = np.linspace(18, 62, 12)
+        LO, LA = np.meshgrid(lons, lats)
+        for crs in (lcc, aea):
+            x, y = crs.project(LO.ravel(), LA.ravel())
+            lo2, la2 = crs.project(x, y, inverse=True)
+            assert np.abs(lo2 - LO.ravel()).max() < 1e-6
+            assert np.abs(la2 - LA.ravel()).max() < 1e-6
+
+    def test_single_parallel_limit(self):
+        # lat_2 == lat_1 takes the analytic 1SP limit n = sin(lat_1)
+        # (Snyder 15-4 / 14-14 limits); the 2SP quotient converges to
+        # it as lat_2 -> lat_1 (checked at a separation wide enough to
+        # avoid cancellation in the log quotient)
+        from karta_ray.kernels import projections as PJ
+
+        for consts in (PJ._lcc_consts, PJ._aea_consts):
+            _, n1, *_ = consts(40.0, 40.0, 23.0, PJ.WGS84_A, PJ.WGS84_B)
+            assert abs(n1 - np.sin(np.deg2rad(40.0))) < 1e-15
+            _, n2, *_ = consts(40.0 - 0.05, 40.0 + 0.05, 23.0,
+                               PJ.WGS84_A, PJ.WGS84_B)
+            assert abs(n2 - n1) < 1e-6
+
+    def test_aea_preserves_area(self):
+        # equal-area property: projected quad area == ellipsoidal
+        # authalic area of the lon/lat cell (1e-6 relative)
+        from karta_ray.crs import AlbersEqualAreaCRS
+        from karta_ray.kernels import projections as PJ
+
+        aea = AlbersEqualAreaCRS(lon_0=-96.0, lat_0=23.0,
+                                 lat_1=29.5, lat_2=45.5)
+        lon0, lon1, lat0, lat1 = -100.0, -99.0, 34.0, 35.0
+        # ellipsoidal zone area between two parallels over dlon
+        e = PJ._eccentricity(PJ.WGS84_A, PJ.WGS84_B)
+        q0 = PJ._authalic_q(np.deg2rad(lat0), e)
+        q1 = PJ._authalic_q(np.deg2rad(lat1), e)
+        zone = (PJ.WGS84_A ** 2 / 2.0) * (q1 - q0) * np.deg2rad(lon1 - lon0)
+        # projected polygon area via the shoelace over a dense boundary
+        n = 200
+        blon = np.concatenate([np.linspace(lon0, lon1, n),
+                               np.full(n, lon1),
+                               np.linspace(lon1, lon0, n),
+                               np.full(n, lon0)])
+        blat = np.concatenate([np.full(n, lat0),
+                               np.linspace(lat0, lat1, n),
+                               np.full(n, lat1),
+                               np.linspace(lat1, lat0, n)])
+        x, y = aea.project(blon, blat)
+        shoelace = 0.5 * abs(np.dot(x, np.roll(y, -1))
+                             - np.dot(y, np.roll(x, -1)))
+        assert abs(shoelace - zone) / zone < 1e-6
+
+    def test_proj4_wkt_round_trip(self):
+        from karta_ray import crs as C
+
+        lcc = C.LambertConformalConicCRS(lon_0=3.0, lat_0=46.5,
+                                         lat_1=44.0, lat_2=49.0,
+                                         fe=700_000.0, fn=6_600_000.0)
+        for back in (C.crs_from_proj4(lcc.ref_proj4),
+                     C.crs_from_wkt(lcc.ref_wkt)):
+            assert back._kw["lat_1"] == 44.0 and back._kw["lat_2"] == 49.0
+            assert back._kw["fe"] == 700_000.0
+            x1, y1 = lcc.project(np.array([2.3]), np.array([48.8]))
+            x2, y2 = back.project(np.array([2.3]), np.array([48.8]))
+            assert float(x1) == float(x2) and float(y1) == float(y2)
+        aea = C.AlbersEqualAreaCRS(lon_0=-96.0, lat_0=23.0,
+                                   lat_1=29.5, lat_2=45.5)
+        for back in (C.crs_from_proj4(aea.ref_proj4),
+                     C.crs_from_wkt(aea.ref_wkt)):
+            assert back._kw["lat_1"] == 29.5 and back._kw["lat_2"] == 45.5
+            x1, y1 = aea.project(np.array([-98.0]), np.array([38.0]))
+            x2, y2 = back.project(np.array([-98.0]), np.array([38.0]))
+            assert float(x1) == float(x2) and float(y1) == float(y2)
+
+    def test_parameterized_polar_stereographic_resolves(self):
+        # non-registry polar stereographic proj4/WKT strings now
+        # resolve to a parameterized instance instead of raising
+        from karta_ray import crs as C
+
+        p = C.crs_from_proj4(
+            "+proj=stere +lat_0=90 +lat_ts=75 +lon_0=10 +k=1 "
+            "+x_0=2000 +y_0=3000 +datum=WGS84")
+        assert p._kw["lat_ts"] == 75.0 and p._kw["fe"] == 2000.0
+        lo, la = p.project(*p.project(np.array([12.0]), np.array([80.0])),
+                           inverse=True)
+        assert abs(float(lo) - 12.0) < 1e-8
+        assert abs(float(la) - 80.0) < 1e-8
+        w = C.crs_from_wkt(p.ref_wkt)
+        assert w._kw["lat_ts"] == 75.0 and w._kw["fe"] == 2000.0
+        # registry instances still resolve to the singletons
+        assert C.crs_from_proj4(C.NSIDCNorth.ref_proj4) is C.NSIDCNorth

@@ -117,6 +117,25 @@ class TestRound2Queries:
         assert sorted(out.schema().names) == ["gid", "lat", "lon"]
         assert out.count() > 0
 
+    def test_project_conic_matches_duckdb(self):
+        # full value parity with the SQL oracle at sf0.001 (the
+        # cm-quantization margin analysis is documented at the query)
+        import duckdb
+
+        from karta_ray.pipelines import queries2 as Q2
+
+        keys = ["l_orderkey", "l_linenumber"]
+        got = (Q2.q_project_conic(self.SF).to_pandas()
+               .sort_values(keys).reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                    f"read_parquet('{self.SF}/lineitem.parquet')")
+        want = (con.execute(Q2.project_conic_sql()).df()
+                .sort_values(keys).reset_index(drop=True))
+        assert list(got.columns) == list(want.columns)
+        for c in got.columns:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
     def test_slope_stencil_matches_full_grid(self):
         import numpy as np
 

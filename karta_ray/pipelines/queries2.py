@@ -841,6 +841,7 @@ def new_queries() -> dict:
         "token_count": q_token_count,
         "kmeans": q_kmeans,
         "project_conic": q_project_conic,
+        "asof_join": q_asof_join,
     }
 
 
@@ -865,6 +866,7 @@ def new_oracle_sqls() -> dict:
         "within_distance": within_distance_sql(),
         "token_count": TOKEN_COUNT_SQL,
         "project_conic": project_conic_sql(),
+        "asof_join": ASOF_JOIN_SQL,
     }
 
 
@@ -1362,4 +1364,66 @@ SELECT l_orderkey, l_linenumber,
        CAST(floor((({rho0a} - rho_a*cos(th_a)) + 0.0)*100.0) AS BIGINT)
          AS y_aea_cm
 FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distributed as-of join (round 4): every non-purchase event joined to
+# the user's most recent purchase at or before it — the canonical
+# temporal enrichment Ray Data lacks natively (stages/asof.py: one
+# range shuffle + vectorized in-block matching + a bounded residual
+# pass).  DuckDB's native ASOF JOIN is the oracle; outputs are exact
+# int64 timestamps/keys and a bit-identical pass-through double.
+# ---------------------------------------------------------------------------
+
+def q_asof_join(sf_dir: str):
+    """(event_id, user_id, ts_us, purchase_id, us_since,
+    purchase_value) — inner as-of join of the events stream against
+    its own purchase sub-stream."""
+    import ray.data
+
+    from ..stages.asof import asof_join
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type", "value"])
+    left = ev.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("event_type"),
+                                        "purchase"))
+                   .select(["event_id", "ts", "user_id"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    right = ev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "purchase"))
+                   .select(["event_id", "ts", "user_id", "value"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = asof_join(left, right, key="user_id", on="ts",
+                       left_cols=["event_id"],
+                       right_cols=["event_id", "value"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy()
+        rts = batch.column("r_ts").to_numpy()
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_us": batch.column("ts"),
+            "purchase_id": batch.column("r_event_id"),
+            "us_since": pa.array(ts - rts, pa.int64()),
+            "purchase_value": batch.column("r_value"),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+ASOF_JOIN_SQL = """
+WITH l AS (SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type <> 'purchase'),
+     r AS (SELECT event_id, user_id, ts, value
+           FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, l.ts_us,
+       r.event_id AS purchase_id,
+       l.ts_us - epoch_us(r.ts) AS us_since,
+       r.value AS purchase_value
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """

@@ -842,6 +842,7 @@ def new_queries() -> dict:
         "kmeans": q_kmeans,
         "project_conic": q_project_conic,
         "asof_join": q_asof_join,
+        "band_join": q_band_join,
     }
 
 
@@ -867,6 +868,7 @@ def new_oracle_sqls() -> dict:
         "token_count": TOKEN_COUNT_SQL,
         "project_conic": project_conic_sql(),
         "asof_join": ASOF_JOIN_SQL,
+        "band_join": BAND_JOIN_SQL,
     }
 
 
@@ -1426,4 +1428,71 @@ SELECT l.event_id, l.user_id, l.ts_us,
        l.ts_us - epoch_us(r.ts) AS us_since,
        r.value AS purchase_value
 FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distributed band (range) join (round 4): every non-purchase event
+# joined to ALL of the user's purchases in the preceding 24 hours —
+# the interval variant of the as-of join (stages/rangejoin.py:
+# time-bucket replication bounds candidates; one range shuffle; pairs
+# emitted by vectorized searchsorted, never a per-group product).
+# Reference analogue: the within_distance family generalized to time
+# (/root/reference/karta/vector/geometry.py nearest/within queries).
+# ---------------------------------------------------------------------------
+
+BAND_US = 86_400_000_000  # 24 h in microseconds
+
+
+def q_band_join(sf_dir: str):
+    """(event_id, user_id, ts_us, purchase_id, us_since,
+    purchase_value) — one row per (event, in-band prior purchase)."""
+    import ray.data
+
+    from ..stages.rangejoin import band_join
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type", "value"])
+    left = ev.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("event_type"),
+                                        "purchase"))
+                   .select(["event_id", "ts", "user_id"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    right = ev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "purchase"))
+                   .select(["event_id", "ts", "user_id", "value"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = band_join(left, right, key="user_id", on="ts",
+                       band=BAND_US,
+                       left_cols=["event_id"],
+                       right_cols=["event_id", "value"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy()
+        rts = batch.column("r_ts").to_numpy()
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_us": batch.column("ts"),
+            "purchase_id": batch.column("r_event_id"),
+            "us_since": pa.array(ts - rts, pa.int64()),
+            "purchase_value": batch.column("r_value"),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+BAND_JOIN_SQL = f"""
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type <> 'purchase'),
+     r AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+           FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, l.ts_us,
+       r.event_id AS purchase_id,
+       l.ts_us - r.ts_us AS us_since,
+       r.value AS purchase_value
+FROM l JOIN r ON l.user_id = r.user_id
+  AND r.ts_us BETWEEN l.ts_us - {BAND_US} AND l.ts_us
 """

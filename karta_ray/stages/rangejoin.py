@@ -1,0 +1,153 @@
+"""Distributed band (range) join: all right rows with
+``l.on - band <= r.on <= l.on`` per key.
+
+The naive plan is a key-equi join followed by an interval filter — at
+web scale the equi join on a hot key is quadratic before the filter
+prunes. This shape bounds the candidate set up front by time-bucketing:
+
+1. left rows get bucket ``b = on // band``; right rows are replicated
+   to buckets ``b_r`` and ``b_r + 1`` — every in-band (l, r) pair
+   shares a bucket with exactly ONE replica of r (r.on in
+   [l.on - band, l.on] implies b_l - 1 <= b_r <= b_l), so no pair is
+   emitted twice and no cross-bucket lookups exist.
+2. one range shuffle groups rows by (key, bucket) with rights sorted
+   before lefts (``sorted_map_groups`` sort_keys
+   [key, bucket, side, on]); per block, every left's in-band right
+   range is found with two vectorized ``np.searchsorted`` calls over a
+   composite (group, relative-time) int64 key, and pairs are emitted
+   with a repeat/arange segment expansion — only in-band pairs are
+   materialized, never the full per-group product.
+
+Scale audit: shuffle volume is |left| + 2 |right| rows moved once; a
+hot (key, bucket) group's cost is its true output size (the in-band
+pairs), which is what any correct band join must produce. Composite
+keys need ``rows_per_block * 4 * band < 2^63`` — 10^8-row blocks at a
+1-hour band leave 6 orders of magnitude of headroom.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _np_i64(arr: pa.ChunkedArray) -> np.ndarray:
+    np_arr = arr.to_numpy(zero_copy_only=False)
+    if np_arr.dtype.kind == "M":
+        np_arr = np_arr.astype("datetime64[us]")
+    return np_arr.astype(np.int64)
+
+
+def band_join(left, right, *, key: str, on: str, band: int,
+              left_cols: list, right_cols: list):
+    """Inner band join: every (left, right) pair with equal ``key`` and
+    ``left.on - band <= right.on <= left.on``.
+
+    Returns ``left_cols + [key, on, "r_" + on] + ["r_" + c for c in
+    right_cols]`` with ``on``/``r_on`` as int64 (microseconds for
+    timestamp input).
+    """
+    r_on = f"r_{on}"
+    r_cols = [f"r_{c}" for c in right_cols]
+    out_names = list(left_cols) + [key, on, r_on] + r_cols
+
+    left_types = {c: left.schema().base_schema.field(c).type
+                  for c in left_cols}
+    right_types = {f"r_{c}": right.schema().base_schema.field(c).type
+                   for c in right_cols}
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        on_i = _np_i64(batch.column(on))
+        cols = {key: batch.column(key), on: pa.array(on_i),
+                "bucket": pa.array(on_i // band),
+                "side": pa.array(np.ones(n, dtype=np.int8))}
+        for c in left_cols:
+            cols[c] = batch.column(c)
+        for c in r_cols:
+            cols[c] = pa.nulls(n, right_types[c])
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        on_i = _np_i64(batch.column(on))
+        b = on_i // band
+        n = batch.num_rows
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), 2))
+        rep = batch.take(idx)
+        cols = {key: rep.column(key),
+                on: pa.array(np.repeat(on_i, 2)),
+                "bucket": pa.array(np.repeat(b, 2)
+                                   + np.tile(np.array([0, 1],
+                                             dtype=np.int64), n)),
+                "side": pa.array(np.zeros(2 * n, dtype=np.int8))}
+        for c in left_cols:
+            cols[c] = pa.nulls(2 * n, left_types[c])
+        for c, src in zip(r_cols, right_cols):
+            cols[c] = rep.column(src)
+        return pa.table(cols)
+
+    both = (left.map_batches(tag_left, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .union(right.map_batches(tag_right, batch_format="pyarrow",
+                                     zero_copy_batch=True)))
+
+    shift = np.int64(1)
+    while shift < 2 * band + 2:
+        shift <<= 1
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        from .agg import group_runs
+
+        n = batch.num_rows
+        empty = pa.table(
+            {c: pa.nulls(0, left_types[c]) for c in left_cols}
+            | {key: pa.nulls(0, batch.schema.field(key).type),
+               on: pa.nulls(0, pa.int64()), r_on: pa.nulls(0, pa.int64())}
+            | {c: pa.nulls(0, right_types[c]) for c in r_cols})
+        if n == 0:
+            return empty
+        u_b = batch.select([key, "bucket"])
+        starts, ends = group_runs(u_b, [key, "bucket"])
+        run_id = np.zeros(n, dtype=np.int64)
+        run_id[starts[1:]] = 1
+        run_id = np.cumsum(run_id)
+        side = batch.column("side").to_numpy(zero_copy_only=False)
+        on_i = batch.column(on).to_numpy(zero_copy_only=False)
+        bucket = batch.column("bucket").to_numpy(zero_copy_only=False)
+        rel = on_i - bucket * band + band        # in [0, 2*band)
+        aug = run_id * shift + rel
+
+        ri = np.nonzero(side == 0)[0]
+        li = np.nonzero(side == 1)[0]
+        if len(ri) == 0 or len(li) == 0:
+            return empty
+        r_aug = aug[ri]                          # sorted (side-major sort)
+        lo = np.searchsorted(r_aug, aug[li] - band, side="left")
+        hi = np.searchsorted(r_aug, aug[li], side="right")
+        counts = hi - lo
+        keep = counts > 0
+        li, lo, counts = li[keep], lo[keep], counts[keep]
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        lrep = np.repeat(li, counts)
+        seg0 = np.repeat(np.cumsum(counts) - counts, counts)
+        intra = np.arange(total, dtype=np.int64) - seg0
+        rrep = ri[np.repeat(lo, counts) + intra]
+
+        lrows = batch.take(pa.array(lrep))
+        rrows = batch.take(pa.array(rrep))
+        cols = {c: lrows.column(c) for c in left_cols}
+        cols[key] = lrows.column(key)
+        cols[on] = lrows.column(on)
+        cols[r_on] = rrows.column(on)
+        for c in r_cols:
+            cols[c] = rrows.column(c)
+        return pa.table(cols)
+
+    from .agg import sorted_map_groups
+
+    out = sorted_map_groups(both, [key, "bucket"], pairs,
+                            sort_keys=[key, "bucket", "side", on])
+    return out.map_batches(lambda b: b.select(out_names),
+                           batch_format="pyarrow", zero_copy_batch=True)

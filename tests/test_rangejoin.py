@@ -1,0 +1,89 @@
+"""Distributed band (range) join (stages/rangejoin.py): brute-force
+equivalence, inclusive boundary semantics, bucket-straddling pairs,
+keys with no right rows, hot-key block straddles."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _brute(lu, lts, ru, rts, band):
+    pairs = set()
+    for i in range(len(lu)):
+        for j in range(len(ru)):
+            if lu[i] == ru[j] and lts[i] - band <= rts[j] <= lts[i]:
+                pairs.add((int(i), int(j)))
+    return pairs
+
+
+def _run(lu, lts, ru, rts, band, n_lblocks=9, n_rblocks=7):
+    import ray
+
+    from karta_ray.stages.rangejoin import band_join
+
+    left = pa.table({"user_id": lu.astype(np.int64),
+                     "ts": lts.astype(np.int64),
+                     "event_id": np.arange(len(lu), dtype=np.int64)})
+    right = pa.table({"user_id": ru.astype(np.int64),
+                      "ts": rts.astype(np.int64),
+                      "rid": np.arange(len(ru), dtype=np.int64),
+                      "value": np.arange(len(ru), dtype=np.float64) * 1.5})
+    out = band_join(ray.data.from_arrow(left).repartition(n_lblocks),
+                    ray.data.from_arrow(right).repartition(n_rblocks),
+                    key="user_id", on="ts", band=band,
+                    left_cols=["event_id"], right_cols=["rid", "value"])
+    return out.to_pandas()
+
+
+class TestBandJoin:
+    def test_matches_brute_force(self, ray_session):
+        rng = np.random.RandomState(23)
+        lu = rng.randint(0, 40, 1200)
+        lts = rng.randint(0, 10**5, 1200)
+        ru = rng.randint(0, 30, 500)   # users 30..39 have no right rows
+        rts = rng.randint(0, 10**5, 500)
+        band = 700
+        got = _run(lu, lts, ru, rts, band)
+        want = _brute(lu, lts, ru, rts, band)
+        got_pairs = set(zip(got["event_id"].astype(int),
+                            got["r_rid"].astype(int)))
+        assert got_pairs == want
+        assert len(got) == len(want)          # no duplicate emission
+        assert not np.isin(got["user_id"].to_numpy(),
+                           np.arange(30, 40)).any()
+
+    def test_boundaries_inclusive(self, ray_session):
+        # r.ts == l.ts and r.ts == l.ts - band both match; one tick
+        # outside either edge does not
+        lu = np.array([1]); lts = np.array([1000])
+        ru = np.array([1, 1, 1, 1])
+        rts = np.array([1000, 900, 899, 1001])  # band=100: in, in, out, out
+        got = _run(lu, lts, ru, rts, 100, 1, 1)
+        assert sorted(got["r_ts"].tolist()) == [900, 1000]
+
+    def test_pair_straddles_bucket_boundary(self, ray_session):
+        # l in bucket b, r in bucket b-1: only the +1 replica matches,
+        # and exactly once
+        lu = np.array([5]); lts = np.array([205])     # bucket 2 (band=100)
+        ru = np.array([5]); rts = np.array([199])     # bucket 1
+        got = _run(lu, lts, ru, rts, 100, 1, 1)
+        assert got["r_ts"].tolist() == [199]
+
+    def test_hot_user_straddles_blocks(self, ray_session):
+        # one user, rows spread over many blocks; every left matches
+        # exactly the rights in its band window
+        n = 5000
+        lts = np.arange(n) * 7
+        lu = np.zeros(n)
+        rts = np.arange(0, n * 7, 13).astype(np.int64)
+        ru = np.zeros(len(rts))
+        band = 50
+        got = _run(lu, lts, ru, rts, band, 16, 11)
+        # per-left expected count: rights (sorted multiples of 13)
+        # falling in the closed window [l - band, l]
+        want_counts = (np.searchsorted(rts, lts, side="right")
+                       - np.searchsorted(rts, lts - band, side="left"))
+        got_counts = got.groupby("event_id").size()
+        assert int(got_counts.sum()) == int(want_counts.sum())
+        full = np.zeros(n, dtype=np.int64)
+        full[got_counts.index.to_numpy()] = got_counts.to_numpy()
+        assert (full == want_counts).all()

@@ -843,6 +843,7 @@ def new_queries() -> dict:
         "project_conic": q_project_conic,
         "asof_join": q_asof_join,
         "band_join": q_band_join,
+        "rolling_purchases": q_rolling_purchases,
     }
 
 
@@ -869,6 +870,7 @@ def new_oracle_sqls() -> dict:
         "project_conic": project_conic_sql(),
         "asof_join": ASOF_JOIN_SQL,
         "band_join": BAND_JOIN_SQL,
+        "rolling_purchases": ROLLING_PURCHASES_SQL,
     }
 
 
@@ -1495,4 +1497,61 @@ SELECT l.event_id, l.user_id, l.ts_us,
        r.value AS purchase_value
 FROM l JOIN r ON l.user_id = r.user_id
   AND r.ts_us BETWEEN l.ts_us - {BAND_US} AND l.ts_us
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling-window aggregate (round 4): for EVERY non-purchase event,
+# the count and exact cents-sum of the user's purchases in the
+# preceding 24 h — the sliding-window streaming aggregate
+# (stages/rangejoin.py::band_agg: bucket-replication shuffle + prefix
+# sums; no pair materialization, so window density can't blow memory).
+# ---------------------------------------------------------------------------
+
+def q_rolling_purchases(sf_dir: str):
+    """(event_id, user_id, ts_us, n_band, sum_cents) — one row per
+    non-purchase event, zero-match rows included."""
+    import ray.data
+
+    from ..stages.rangejoin import band_agg
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type", "value"])
+    left = ev.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("event_type"),
+                                        "purchase"))
+                   .select(["event_id", "ts", "user_id"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def rights(b: pa.Table) -> pa.Table:
+        p = b.filter(pc.equal(b.column("event_type"), "purchase"))
+        cents = np.round(p.column("value").to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        return pa.table({"ts": p.column("ts"),
+                         "user_id": p.column("user_id"),
+                         "cents": pa.array(cents)})
+
+    right = ev.map_batches(rights, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = band_agg(left, right, key="user_id", on="ts", band=BAND_US,
+                   left_cols=["event_id"], agg_cols=["cents"])
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            ["event_id", "user_id", "ts_us", "n_band", "sum_cents"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+ROLLING_PURCHASES_SQL = f"""
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type <> 'purchase'),
+     r AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, l.ts_us,
+       count(r.ts_us) AS n_band,
+       coalesce(sum(r.cents), 0) AS sum_cents
+FROM l LEFT JOIN r ON l.user_id = r.user_id
+  AND r.ts_us BETWEEN l.ts_us - {BAND_US} AND l.ts_us
+GROUP BY 1, 2, 3
 """

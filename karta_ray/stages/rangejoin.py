@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _np_i64(arr: pa.ChunkedArray) -> np.ndarray:
@@ -148,6 +149,127 @@ def band_join(left, right, *, key: str, on: str, band: int,
     from .agg import sorted_map_groups
 
     out = sorted_map_groups(both, [key, "bucket"], pairs,
+                            sort_keys=[key, "bucket", "side", on])
+    return out.map_batches(lambda b: b.select(out_names),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def band_agg(left, right, *, key: str, on: str, band: int,
+             left_cols: list, agg_cols: list):
+    """Rolling-window aggregate: for EVERY left row, the count and the
+    int64 sums of ``agg_cols`` over right rows with equal ``key`` and
+    ``left.on - band <= right.on <= left.on`` — the sliding-window
+    variant of :func:`band_join` that never materializes pairs.
+
+    Same bucket-replication shuffle (|L| + 2 |R| rows moved once), but
+    the per-block body answers each left with two ``searchsorted``
+    bounds against prefix sums of the in-block rights — O(n log n) per
+    block regardless of window density, so a left row with 10^6 in-band
+    rights costs the same as one with none. ``agg_cols`` must be int64
+    on the right (pre-scale floats to fixed-point upstream) so sums are
+    exact and order-independent.
+
+    Zero-match lefts are still emitted (count 0, sums 0): every left
+    appears in exactly one (key, bucket) group.
+
+    Returns ``left_cols + [key, on, "n_band"] + ["sum_" + c for c in
+    agg_cols]`` with ``on`` as int64.
+    """
+    sum_names = [f"sum_{c}" for c in agg_cols]
+    out_names = list(left_cols) + [key, on, "n_band"] + sum_names
+
+    left_types = {c: left.schema().base_schema.field(c).type
+                  for c in left_cols}
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        on_i = _np_i64(batch.column(on))
+        cols = {key: batch.column(key), on: pa.array(on_i),
+                "bucket": pa.array(on_i // band),
+                "side": pa.array(np.ones(n, dtype=np.int8))}
+        for c in left_cols:
+            cols[c] = batch.column(c)
+        for c in agg_cols:
+            cols[c] = pa.nulls(n, pa.int64())
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        on_i = _np_i64(batch.column(on))
+        b = on_i // band
+        n = batch.num_rows
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), 2))
+        rep = batch.take(idx)
+        cols = {key: rep.column(key),
+                on: pa.array(np.repeat(on_i, 2)),
+                "bucket": pa.array(np.repeat(b, 2)
+                                   + np.tile(np.array([0, 1],
+                                             dtype=np.int64), n)),
+                "side": pa.array(np.zeros(2 * n, dtype=np.int8))}
+        for c in left_cols:
+            cols[c] = pa.nulls(2 * n, left_types[c])
+        for c in agg_cols:
+            cols[c] = rep.column(c)
+        return pa.table(cols)
+
+    both = (left.map_batches(tag_left, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .union(right.map_batches(tag_right, batch_format="pyarrow",
+                                     zero_copy_batch=True)))
+
+    shift = np.int64(1)
+    while shift < 2 * band + 2:
+        shift <<= 1
+
+    def windows(batch: pa.Table) -> pa.Table:
+        from .agg import group_runs
+
+        empty = pa.table(
+            {c: pa.nulls(0, left_types[c]) for c in left_cols}
+            | {key: pa.nulls(0, batch.schema.field(key).type),
+               on: pa.nulls(0, pa.int64()),
+               "n_band": pa.nulls(0, pa.int64())}
+            | {s: pa.nulls(0, pa.int64()) for s in sum_names})
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        starts, _ = group_runs(batch.select([key, "bucket"]),
+                               [key, "bucket"])
+        run_id = np.zeros(n, dtype=np.int64)
+        run_id[starts[1:]] = 1
+        run_id = np.cumsum(run_id)
+        side = batch.column("side").to_numpy(zero_copy_only=False)
+        on_i = batch.column(on).to_numpy(zero_copy_only=False)
+        bucket = batch.column("bucket").to_numpy(zero_copy_only=False)
+        rel = on_i - bucket * band + band
+        aug = run_id * shift + rel
+
+        ri = np.nonzero(side == 0)[0]
+        li = np.nonzero(side == 1)[0]
+        if len(li) == 0:
+            return empty
+        r_aug = aug[ri]
+        lo = np.searchsorted(r_aug, aug[li] - band, side="left")
+        hi = np.searchsorted(r_aug, aug[li], side="right")
+
+        lrows = batch.take(pa.array(li))
+        cols = {c: lrows.column(c) for c in left_cols}
+        cols[key] = lrows.column(key)
+        cols[on] = lrows.column(on)
+        cols["n_band"] = pa.array(hi - lo)
+        for c, s in zip(agg_cols, sum_names):
+            # left rows hold nulls in agg cols; fill so the arrow ->
+            # numpy conversion stays int64 (nulls would promote to
+            # float64 and break exact summation)
+            vals = (pc.fill_null(batch.column(c), 0)
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+            cum = np.concatenate([[np.int64(0)],
+                                  np.cumsum(vals[ri], dtype=np.int64)])
+            cols[s] = pa.array(cum[hi] - cum[lo])
+        return pa.table(cols)
+
+    from .agg import sorted_map_groups
+
+    out = sorted_map_groups(both, [key, "bucket"], windows,
                             sort_keys=[key, "bucket", "side", on])
     return out.map_batches(lambda b: b.select(out_names),
                            batch_format="pyarrow", zero_copy_batch=True)

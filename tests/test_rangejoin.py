@@ -87,3 +87,57 @@ class TestBandJoin:
         full = np.zeros(n, dtype=np.int64)
         full[got_counts.index.to_numpy()] = got_counts.to_numpy()
         assert (full == want_counts).all()
+
+
+class TestBandAgg:
+    def test_matches_brute_force_with_zero_rows(self, ray_session):
+        import ray
+
+        from karta_ray.stages.rangejoin import band_agg
+
+        rng = np.random.RandomState(31)
+        nl, nr, band = 1500, 600, 900
+        lu = rng.randint(0, 40, nl)
+        lts = rng.randint(0, 10**5, nl)
+        ru = rng.randint(0, 30, nr)
+        rts = rng.randint(0, 10**5, nr)
+        rv = rng.randint(-50, 10**6, nr)
+        left = pa.table({"user_id": lu.astype(np.int64),
+                         "ts": lts.astype(np.int64),
+                         "event_id": np.arange(nl, dtype=np.int64)})
+        right = pa.table({"user_id": ru.astype(np.int64),
+                          "ts": rts.astype(np.int64),
+                          "cents": rv.astype(np.int64)})
+        out = band_agg(ray.data.from_arrow(left).repartition(9),
+                       ray.data.from_arrow(right).repartition(7),
+                       key="user_id", on="ts", band=band,
+                       left_cols=["event_id"], agg_cols=["cents"])
+        got = (out.to_pandas().sort_values("event_id")
+               .reset_index(drop=True))
+        assert len(got) == nl                       # every left emitted
+        for i in range(nl):
+            m = (ru == lu[i]) & (rts >= lts[i] - band) & (rts <= lts[i])
+            assert got["n_band"][i] == m.sum()
+            assert got["sum_cents"][i] == rv[m].sum()
+
+    def test_hot_key_dense_window(self, ray_session):
+        # one key, every right in-band for the last left; sums exact
+        import ray
+
+        from karta_ray.stages.rangejoin import band_agg
+
+        n = 4000
+        rts = np.arange(n, dtype=np.int64)
+        left = pa.table({"user_id": np.zeros(2, dtype=np.int64),
+                         "ts": np.array([n - 1, 10**6], dtype=np.int64),
+                         "event_id": np.array([0, 1], dtype=np.int64)})
+        right = pa.table({"user_id": np.zeros(n, dtype=np.int64),
+                          "ts": rts, "cents": rts * 3})
+        out = band_agg(ray.data.from_arrow(left),
+                       ray.data.from_arrow(right).repartition(13),
+                       key="user_id", on="ts", band=2 * n,
+                       left_cols=["event_id"], agg_cols=["cents"])
+        got = (out.to_pandas().sort_values("event_id")
+               .reset_index(drop=True))
+        assert got["n_band"].tolist() == [n, 0]
+        assert got["sum_cents"].tolist() == [int(rts.sum() * 3), 0]

@@ -844,6 +844,7 @@ def new_queries() -> dict:
         "asof_join": q_asof_join,
         "band_join": q_band_join,
         "rolling_purchases": q_rolling_purchases,
+        "value_quantiles": q_value_quantiles,
     }
 
 
@@ -871,6 +872,7 @@ def new_oracle_sqls() -> dict:
         "asof_join": ASOF_JOIN_SQL,
         "band_join": BAND_JOIN_SQL,
         "rolling_purchases": ROLLING_PURCHASES_SQL,
+        "value_quantiles": VALUE_QUANTILES_SQL,
     }
 
 
@@ -1554,4 +1556,46 @@ SELECT l.event_id, l.user_id, l.ts_us,
 FROM l LEFT JOIN r ON l.user_id = r.user_id
   AND r.ts_us BETWEEN l.ts_us - {BAND_US} AND l.ts_us
 GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distributed exact quantiles (round 4): per event_type, exact
+# p50/p90/p99 of the fixed-point price — histogram partials + tree
+# combine move |types| x |cent domain| rows instead of the full table
+# (stages/quantile.py). Oracle: DuckDB quantile_disc.
+# ---------------------------------------------------------------------------
+
+def q_value_quantiles(sf_dir: str):
+    """(event_type, p50, p90, p99, n_rows) — exact discrete quantiles
+    of value-in-cents per event type."""
+    import ray.data
+
+    from ..stages.quantile import grouped_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.round(b.column("value").to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return pa.table({"event_type": b.column("event_type"),
+                         "cents": pa.array(c)})
+
+    return grouped_quantiles(
+        ds.map_batches(cents, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type"], "cents", [50, 90, 99])
+
+
+VALUE_QUANTILES_SQL = """
+WITH c AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events)
+SELECT event_type,
+       quantile_disc(cents, 0.50) AS p50,
+       quantile_disc(cents, 0.90) AS p90,
+       quantile_disc(cents, 0.99) AS p99,
+       count(*) AS n_rows
+FROM c GROUP BY event_type
 """

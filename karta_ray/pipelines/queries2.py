@@ -845,6 +845,7 @@ def new_queries() -> dict:
         "band_join": q_band_join,
         "rolling_purchases": q_rolling_purchases,
         "value_quantiles": q_value_quantiles,
+        "bloom_semi_join": q_bloom_semi_join,
     }
 
 
@@ -873,6 +874,7 @@ def new_oracle_sqls() -> dict:
         "band_join": BAND_JOIN_SQL,
         "rolling_purchases": ROLLING_PURCHASES_SQL,
         "value_quantiles": VALUE_QUANTILES_SQL,
+        "bloom_semi_join": BLOOM_SEMI_JOIN_SQL,
     }
 
 
@@ -1598,4 +1600,52 @@ SELECT event_type,
        quantile_disc(cents, 0.99) AS p99,
        count(*) AS n_rows
 FROM c GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join (round 4): lineitem rows whose order is
+# URGENT — broadcast an m-bit bloom of the filtered order keys, probe
+# in a streaming map_batches, then exact-verify only the survivors
+# with a distributed hash join (stages/bloomjoin.py). Shuffle volume
+# is |matches| + |right keys|, never |lineitem|.
+# ---------------------------------------------------------------------------
+
+def q_bloom_semi_join(sf_dir: str):
+    """(l_orderkey, l_linenumber, qty_x100) — lineitems of URGENT
+    orders via bloom pre-filter + exact verify."""
+    import ray.data
+
+    from ..stages.bloomjoin import bloom_semi_join
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_linenumber",
+                                        "l_quantity"])
+
+    def fixed(b: pa.Table) -> pa.Table:
+        q = np.round(b.column("l_quantity").to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "l_linenumber": b.column("l_linenumber"),
+                         "qty_x100": pa.array(q)})
+
+    left = li.map_batches(fixed, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    urgent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda b: b.filter(pc.equal(b.column("o_orderpriority"),
+                                    "1-URGENT")).select(["o_orderkey"])
+                   .rename_columns(["l_orderkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return bloom_semi_join(left, urgent, key="l_orderkey",
+                           right_distinct=True)
+
+
+BLOOM_SEMI_JOIN_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(round(l_quantity * 100) AS BIGINT) AS qty_x100
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
 """

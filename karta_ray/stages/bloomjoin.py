@@ -1,0 +1,160 @@
+"""Bloom-filter semi-join: filter a huge left table by key membership
+in a (much smaller, but still too big to ship raw) right key set.
+
+The naive plan — hash-join left against right — shuffles every left
+row. Here only rows that *probably* match move:
+
+1. **build**: each right block sets its keys' k double-hashed bit
+   positions in a local m-bit bitmap; bitmaps OR-combine through a
+   fixed-fanout tree (``m/8`` bytes per partial, independent of row
+   count) and the final bitmap is broadcast once via ``ray.put`` —
+   every probe task reads the same object-store copy.
+2. **probe**: a stateless ``map_batches`` filter keeps left rows whose
+   k positions are all set. False-positive rate ~ (1-e^{-kn/m})^k;
+   with the default m=2^23, k=4 it stays under 1% up to ~1M keys.
+3. **verify** (exact semantics): survivors — true matches plus the
+   small false-positive residue — go through a real distributed hash
+   join against the right key set, so the output is the EXACT
+   semi-join. The shuffle volume is |survivors| + |right keys|, not
+   |left|.
+
+Scale audit: left streams (never materialized); the only broadcast is
+the m/8-byte bitmap; the verify join's left side is output-sized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized over uint64."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _positions(keys: np.ndarray, m_bits: int, n_hashes: int) -> np.ndarray:
+    """(n, n_hashes) bit positions by double hashing."""
+    x = keys.astype(np.uint64)
+    h1 = _mix64(x)
+    h2 = _mix64(x ^ np.uint64(0xD6E8FEB86659FD93)) | np.uint64(1)
+    i = np.arange(n_hashes, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % np.uint64(m_bits)).astype(np.int64)
+
+
+def _drop_empty_blocks(ds):
+    """Range shuffles can leave schema-LESS empty blocks that
+    ``Dataset.join`` rejects ("no match for key field"); drop them by
+    block metadata. Bounded: blocks stay in the object store — only
+    refs and row counts touch the driver."""
+    import ray
+    import ray.data
+
+    refs = []
+    for bundle in ds.materialize().iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+    if not refs:
+        return ds  # all-empty: caller's join output is empty anyway
+    return ray.data.from_arrow_refs(refs)
+
+
+def build_bloom(right, *, key: str, m_bits: int, n_hashes: int,
+                fanout: int = 32):
+    """OR-tree a bitmap over ``right[key]``; returns (ObjectRef to a
+    packed uint8 numpy bitmap, n_set_bits)."""
+    import ray
+
+    nbytes = m_bits // 8
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        if len(k):
+            pos = _positions(k, m_bits, n_hashes).ravel()
+            np.bitwise_or.at(bm, pos >> 3,
+                             np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(nbytes, dtype=np.uint8)
+        for buf in batch.column("bm"):
+            acc |= np.frombuffer(buf.as_py(), dtype=np.uint8)
+        return pa.table({"bm": pa.array([acc.tobytes()], pa.binary())})
+
+    parts = right.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    merged = (parts.repartition(fanout)
+              .map_batches(combine, batch_format="pyarrow")
+              .repartition(1)
+              .map_batches(combine, batch_format="pyarrow"))
+    final = np.frombuffer(merged.take(1)[0]["bm"], dtype=np.uint8).copy()
+    n_set = int(np.unpackbits(final).sum())
+    return ray.put(final), n_set
+
+
+def bloom_semi_join(left, right, *, key: str,
+                    m_bits: int = 1 << 23, n_hashes: int = 4,
+                    right_distinct: bool = True, exact: bool = True,
+                    num_partitions: int = 8):
+    """Exact semi-join ``left`` ⋉ ``right`` on int64 ``key``.
+
+    ``right_distinct=True`` asserts right keys are already unique
+    (e.g. a primary key) and skips the dedup shuffle; otherwise the
+    right side is group-reduced first. ``exact=False`` skips the
+    verify join and returns the bloom survivors (superset of the true
+    result, FP-rate documented above) — the streaming pre-filter mode.
+    """
+    bm_ref, _ = build_bloom(right, key=key, m_bits=m_bits,
+                            n_hashes=n_hashes)
+
+    def probe(batch: pa.Table, *, ref=bm_ref) -> pa.Table:
+        import ray
+
+        bm = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        if not len(k):
+            return batch
+        pos = _positions(k, m_bits, n_hashes)
+        hit = (bm[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))
+               ).astype(bool).all(axis=1)
+        return batch.take(pa.array(np.nonzero(hit)[0]))
+
+    survivors = left.map_batches(probe, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    if not exact:
+        return survivors
+
+    rkeys = right.map_batches(
+        lambda b: b.select([key]).rename_columns(["__bloom_rkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    if not right_distinct:
+        # sorted_agg, not ds.groupby().count(): Ray's groupby can emit
+        # schema-less empty blocks that Dataset.join rejects, and
+        # sorted_agg's range shuffle is the repo-wide distinct
+        # primitive for unbounded keys anyway
+        from .agg import sorted_agg
+
+        rkeys = rkeys.map_batches(
+            lambda b: b.append_column(
+                "__bloom_n",
+                pa.array(np.ones(b.num_rows, dtype=np.int64))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        rkeys = sorted_agg(rkeys, ["__bloom_rkey"],
+                           [("__bloom_n", "sum")]).map_batches(
+            lambda b: b.select(["__bloom_rkey"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        rkeys = _drop_empty_blocks(rkeys)
+
+    out_cols = left.schema().base_schema.names
+    joined = survivors.join(rkeys, "inner",
+                            num_partitions=num_partitions,
+                            on=(key,), right_on=("__bloom_rkey",))
+    return joined.map_batches(lambda b: b.select(out_cols),
+                              batch_format="pyarrow",
+                              zero_copy_batch=True)

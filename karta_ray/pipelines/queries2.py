@@ -846,6 +846,7 @@ def new_queries() -> dict:
         "rolling_purchases": q_rolling_purchases,
         "value_quantiles": q_value_quantiles,
         "bloom_semi_join": q_bloom_semi_join,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -875,6 +876,7 @@ def new_oracle_sqls() -> dict:
         "rolling_purchases": ROLLING_PURCHASES_SQL,
         "value_quantiles": VALUE_QUANTILES_SQL,
         "bloom_semi_join": BLOOM_SEMI_JOIN_SQL,
+        "stratified_sample": _stratified_sample_sql(),
     }
 
 
@@ -1648,4 +1650,42 @@ SELECT l_orderkey, l_linenumber,
 FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sample (round 4): training-mix reweighting
+# — keep 10% of English documents, 50% of every other language, by
+# md5-hash of doc_id (stages/sample.py). No RNG state: reruns,
+# resumed shards and different cluster sizes all select the identical
+# rows. Oracle: the same predicate via DuckDB md5_number_lower.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 0.1}
+_SAMPLE_DEFAULT = 0.5
+
+
+def q_stratified_sample(sf_dir: str):
+    """(doc_id, lang, source, n_chars) of the deterministic sample."""
+    import ray.data
+
+    from ..stages.sample import stratified_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "source",
+                                        "n_chars"])
+    return stratified_sample(ds, id_col="doc_id", stratum_col="lang",
+                             rates=_SAMPLE_RATES,
+                             default_rate=_SAMPLE_DEFAULT)
+
+
+def _stratified_sample_sql() -> str:
+    t_en = int(_SAMPLE_RATES["en"] * (1 << 64))
+    t_def = int(_SAMPLE_DEFAULT * (1 << 64))
+    return f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR))
+      < CASE WHEN lang = 'en' THEN {t_en}::HUGEINT
+             ELSE {t_def}::HUGEINT END
 """

@@ -847,6 +847,7 @@ def new_queries() -> dict:
         "value_quantiles": q_value_quantiles,
         "bloom_semi_join": q_bloom_semi_join,
         "stratified_sample": q_stratified_sample,
+        "grouped_topn": q_grouped_topn,
     }
 
 
@@ -877,6 +878,7 @@ def new_oracle_sqls() -> dict:
         "value_quantiles": VALUE_QUANTILES_SQL,
         "bloom_semi_join": BLOOM_SEMI_JOIN_SQL,
         "stratified_sample": _stratified_sample_sql(),
+        "grouped_topn": GROUPED_TOPN_SQL,
     }
 
 
@@ -1688,4 +1690,33 @@ FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR))
       < CASE WHEN lang = 'en' THEN {t_en}::HUGEINT
              ELSE {t_def}::HUGEINT END
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-N (round 4): the N best rows per key — "3 most expensive
+# orders per customer". Distributed via per-block combiner + range
+# shuffle with bounded residue (stages/topn.py); no global sort, no
+# per-group dispatch. Tie-break on o_orderkey makes the row set unique.
+# ---------------------------------------------------------------------------
+
+def q_grouped_topn(sf_dir: str):
+    """(o_custkey, o_orderkey, o_totalprice): top 3 orders per
+    customer by price, price ties broken by orderkey ascending."""
+    import ray.data
+
+    from ..stages.topn import grouped_topn
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_orderkey",
+                                        "o_totalprice"])
+    return grouped_topn(ds, ["o_custkey"], "o_totalprice", 3,
+                        tie_cols=["o_orderkey"])
+
+
+GROUPED_TOPN_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) <= 3
 """

@@ -80,7 +80,8 @@ def _truncate_runs(table: pa.Table, keys: list, cap: int) -> pa.Table:
 
 
 def sorted_map_groups(ds, keys: list, block_fn, *, pre_reduce=None,
-                      max_group_rows=None, sort_keys=None):
+                      max_group_rows=None, sort_keys=None,
+                      sort_desc=None):
     """Distributed groupby().map_groups() without Ray's per-group
     dispatch cost (which dominates for many tiny groups: 30-100 us of
     slicing/format conversion per group vs sub-us of useful work).
@@ -118,11 +119,16 @@ def sorted_map_groups(ds, keys: list, block_fn, *, pre_reduce=None,
     ``sort_keys`` (default ``keys``) lets callers demand a finer
     WITHIN-group row order (e.g. sort by ``[gid, ord]`` while grouping
     by ``[gid]``) so ``block_fn`` sees each group's rows already
-    ordered.
+    ordered. ``sort_desc`` (bool per sort key, default all-ascending)
+    flips individual sort directions — grouping ``keys`` must still be
+    a prefix of ``sort_keys`` but may themselves be descending (run
+    detection is order-insensitive).
     """
     if sort_keys is None:
         sort_keys = keys
-    blocks = ds.sort(sort_keys).materialize()
+    if sort_desc is None:
+        sort_desc = [False] * len(sort_keys)
+    blocks = ds.sort(sort_keys, descending=list(sort_desc)).materialize()
 
     # A group can only straddle a block boundary through a block's FIRST
     # or LAST key run, so those runs are deferred wholesale to the
@@ -150,7 +156,9 @@ def sorted_map_groups(ds, keys: list, block_fn, *, pre_reduce=None,
         return out
 
     def residue_fn(batch: pa.Table) -> pa.Table:
-        return block_fn(batch.sort_by([(k, "ascending") for k in sort_keys]))
+        return block_fn(batch.sort_by(
+            [(k, "descending" if d else "ascending")
+             for k, d in zip(sort_keys, sort_desc)]))
 
     main = blocks.map_batches(interior, batch_size=None,
                               batch_format="pyarrow")

@@ -119,3 +119,86 @@ def approx_distinct(ds, col: str, p: int = _P_DEFAULT) -> float:
     return hll_count_from_rows(
         {"bucket": [r["bucket"] for r in tbl],
          "register": [r["register"] for r in tbl]}, p)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): mergeable frequency
+# estimates over an unbounded token domain. Like the HLL above, the
+# partial is a fixed-size array per block (depth x width uint64) that
+# tree-combines by elementwise SUM — no token ever crosses the wire,
+# so the network cost is independent of corpus and vocabulary size.
+# Estimates are biased high only: est(x) >= true(x), and
+# est(x) <= true(x) + eps*N with prob 1-delta for width=ceil(e/eps),
+# depth=ceil(ln(1/delta)).
+# ---------------------------------------------------------------------------
+
+_CM_SEED_STEP = np.uint64(0xA24BAED4963EE407)
+
+
+def cm_bucket_indices(hashes: np.ndarray, width: int,
+                      depth: int) -> np.ndarray:
+    """(depth, n) bucket index matrix — row d uses an independent
+    salted re-mix of the base 64-bit hash."""
+    from .text import _splitmix64
+
+    out = np.empty((depth, len(hashes)), dtype=np.int64)
+    h = hashes.astype(np.uint64)
+    for d in range(depth):
+        with np.errstate(over="ignore"):
+            salted = _splitmix64(h ^ (np.uint64(d + 1) * _CM_SEED_STEP))
+        out[d] = (salted % np.uint64(width)).astype(np.int64)
+    return out
+
+
+def cm_sketch_rows(ds, *, width: int = 4096, depth: int = 4,
+                   text_col: str = "text", token_mode: bool = True):
+    """The Count-Min sketch as a Dataset of nonzero (d, j, n) cells.
+
+    Per-batch partials count token occurrences into a local
+    depth x width matrix (np.bincount — vectorized, duplicates keep
+    their multiplicity); cells tree-combine by sum. ``token_mode``
+    counts space-split tokens of ``text_col``; otherwise each row's
+    value counts once."""
+    import pyarrow as pa
+
+    from ..stages.agg import tree_sum
+    from ..stages.heavy import tokens_of
+    from .text import hash_column_u64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = (tokens_of(batch.column(text_col)) if token_mode
+               else batch.column(text_col))
+        h = hash_column_u64(col)
+        idx = cm_bucket_indices(h, width, depth)
+        ds_, js, ns = [], [], []
+        for d in range(depth):
+            cnt = np.bincount(idx[d], minlength=width)
+            nz = np.nonzero(cnt)[0]
+            ds_.append(np.full(len(nz), d, dtype=np.int64))
+            js.append(nz.astype(np.int64))
+            ns.append(cnt[nz].astype(np.int64))
+        return pa.table({"d": pa.array(np.concatenate(ds_)),
+                         "j": pa.array(np.concatenate(js)),
+                         "n": pa.array(np.concatenate(ns))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return tree_sum(parts, ["d", "j"], ["n"])
+
+
+def cm_estimate(rows, queries, *, width: int = 4096,
+                depth: int = 4) -> np.ndarray:
+    """Point frequency estimates for ``queries`` (list of strings)
+    from a collected (d, j, n) cell table: min over depths of the
+    queried cells."""
+    import pyarrow as pa
+
+    from .text import hash_column_u64
+
+    mat = np.zeros((depth, width), dtype=np.int64)
+    d = np.asarray(rows["d"], dtype=np.int64)
+    j = np.asarray(rows["j"], dtype=np.int64)
+    n = np.asarray(rows["n"], dtype=np.int64)
+    mat[d, j] = n
+    h = hash_column_u64(pa.array([str(q) for q in queries]))
+    idx = cm_bucket_indices(h, width, depth)
+    return np.min(mat[np.arange(depth)[:, None], idx], axis=0)

@@ -848,6 +848,7 @@ def new_queries() -> dict:
         "bloom_semi_join": q_bloom_semi_join,
         "stratified_sample": q_stratified_sample,
         "grouped_topn": q_grouped_topn,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -879,6 +880,7 @@ def new_oracle_sqls() -> dict:
         "bloom_semi_join": BLOOM_SEMI_JOIN_SQL,
         "stratified_sample": _stratified_sample_sql(),
         "grouped_topn": GROUPED_TOPN_SQL,
+        "heavy_hitters": HEAVY_HITTERS_SQL,
     }
 
 
@@ -1719,4 +1721,37 @@ SELECT o_custkey, o_orderkey, o_totalprice
 FROM orders
 QUALIFY row_number() OVER (PARTITION BY o_custkey
                            ORDER BY o_totalprice DESC, o_orderkey) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (round 4): exact top-k tokens over the corpus with a
+# per-block combiner (stages/heavy.py) — shuffle volume is per-block
+# DISTINCT tokens, never corpus tokens. Deterministic (count desc,
+# token asc) tiebreak.
+# ---------------------------------------------------------------------------
+
+HEAVY_K = 20
+
+
+def q_heavy_hitters(sf_dir: str):
+    """(token, n): the 20 most frequent space-split tokens in
+    documents.text."""
+    import ray.data
+
+    from ..stages.heavy import top_tokens
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    return top_tokens(ds, HEAVY_K)
+
+
+HEAVY_HITTERS_SQL = f"""
+SELECT token, n FROM (
+  SELECT w AS token, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) u
+  WHERE w <> ''
+  GROUP BY w)
+ORDER BY n DESC, token
+LIMIT {HEAVY_K}
 """

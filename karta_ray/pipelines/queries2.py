@@ -849,6 +849,7 @@ def new_queries() -> dict:
         "stratified_sample": q_stratified_sample,
         "grouped_topn": q_grouped_topn,
         "heavy_hitters": q_heavy_hitters,
+        "tfidf": q_tfidf,
     }
 
 
@@ -881,6 +882,7 @@ def new_oracle_sqls() -> dict:
         "stratified_sample": _stratified_sample_sql(),
         "grouped_topn": GROUPED_TOPN_SQL,
         "heavy_hitters": HEAVY_HITTERS_SQL,
+        "tfidf": TFIDF_SQL,
     }
 
 
@@ -1754,4 +1756,40 @@ SELECT token, n FROM (
   GROUP BY w)
 ORDER BY n DESC, token
 LIMIT {HEAVY_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (round 4): shuffle-free per-doc term frequencies + combiner-
+# bounded document frequencies + adaptive broadcast/join resolution
+# (stages/tfidf.py). Weight rounded to 6 dp on both sides (same
+# convention as the cm-quantized projection oracle) so DuckDB mirrors
+# the float exactly.
+# ---------------------------------------------------------------------------
+
+def q_tfidf(sf_dir: str):
+    """(doc_id, token, tf, df, tfidf) for every (document, term)."""
+    import ray.data
+
+    from ..stages.tfidf import tfidf_table
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return tfidf_table(ds)
+
+
+TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, w AS token
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  WHERE w <> ''),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+       GROUP BY doc_id, token),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks
+       GROUP BY token),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT tf.doc_id, tf.token, tf.tf, df.df,
+       round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+FROM tf JOIN df USING (token) CROSS JOIN n
 """

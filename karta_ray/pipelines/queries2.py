@@ -850,6 +850,7 @@ def new_queries() -> dict:
         "grouped_topn": q_grouped_topn,
         "heavy_hitters": q_heavy_hitters,
         "tfidf": q_tfidf,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -883,6 +884,7 @@ def new_oracle_sqls() -> dict:
         "grouped_topn": GROUPED_TOPN_SQL,
         "heavy_hitters": HEAVY_HITTERS_SQL,
         "tfidf": TFIDF_SQL,
+        "pii_scrub": PII_SCRUB_SQL,
     }
 
 
@@ -1792,4 +1794,41 @@ n AS (SELECT count(*) AS n FROM documents)
 SELECT tf.doc_id, tf.token, tf.tf, df.df,
        round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
 FROM tf JOIN df USING (token) CROSS JOIN n
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pattern redaction (round 4): regex scrub + match counts in one
+# streaming pass (stages/scrub.py, Arrow RE2 == DuckDB RE2). The rules
+# here redact the synthetic corpus's "sensitive" vocabulary; the stage
+# ships email/phone presets for real text.
+# ---------------------------------------------------------------------------
+
+SCRUB_RULES = [("name", r"\bcustomer\b", "<NAME>"),
+               ("id", r"\b(key|hash)\b", "<ID>")]
+
+
+def q_pii_scrub(sf_dir: str):
+    """(doc_id, n_name, n_id, text_clean): redacted text + per-rule
+    match counts."""
+    import ray.data
+
+    from ..stages.scrub import scrub_text
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = scrub_text(ds, SCRUB_RULES)
+    return out.drop_columns(["text"])
+
+
+PII_SCRUB_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\bcustomer\b')) AS n_name,
+       len(regexp_extract_all(
+           regexp_replace(text, '\bcustomer\b', '<NAME>', 'g'),
+           '\b(key|hash)\b')) AS n_id,
+       regexp_replace(
+           regexp_replace(text, '\bcustomer\b', '<NAME>', 'g'),
+           '\b(key|hash)\b', '<ID>', 'g') AS text_clean
+FROM documents
 """

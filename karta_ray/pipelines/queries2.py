@@ -851,6 +851,7 @@ def new_queries() -> dict:
         "heavy_hitters": q_heavy_hitters,
         "tfidf": q_tfidf,
         "pii_scrub": q_pii_scrub,
+        "grouped_sample": q_grouped_sample,
     }
 
 
@@ -885,6 +886,7 @@ def new_oracle_sqls() -> dict:
         "heavy_hitters": HEAVY_HITTERS_SQL,
         "tfidf": TFIDF_SQL,
         "pii_scrub": PII_SCRUB_SQL,
+        "grouped_sample": GROUPED_SAMPLE_SQL,
     }
 
 
@@ -1831,4 +1833,37 @@ SELECT doc_id,
            regexp_replace(text, '\bcustomer\b', '<NAME>', 'g'),
            '\b(key|hash)\b', '<ID>', 'g') AS text_clean
 FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact k-per-stratum sample (round 4): the k smallest md5(doc_id) per
+# language — deterministic reservoir-sampling analogue for training
+# mixes needing exact per-stratum counts (stages/sample.py +
+# stages/topn.py).
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 25
+
+
+def q_grouped_sample(sf_dir: str):
+    """(lang, doc_id, source): exactly 25 docs per language (fewer if
+    the language is smaller), selected by md5 rank."""
+    import ray.data
+
+    from ..stages.sample import grouped_hash_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "doc_id", "source"])
+    return grouped_hash_sample(ds, keys=["lang"], id_col="doc_id",
+                               k=SAMPLE_K)
+
+
+GROUPED_SAMPLE_SQL = f"""
+SELECT lang, doc_id, source
+FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY lang
+    ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+) <= {SAMPLE_K}
 """

@@ -56,3 +56,38 @@ def stratified_sample(ds, *, id_col: str, stratum_col: str,
 
     return ds.map_batches(keep, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def grouped_hash_sample(ds, *, keys: list, id_col: str, k: int,
+                        hasher=None):
+    """EXACTLY ``k`` rows per key group (fewer if the group is
+    smaller), chosen as the k smallest ``hash(id)`` — the
+    deterministic analogue of per-stratum reservoir sampling, for
+    training mixes that need exact per-stratum counts rather than
+    rates.
+
+    Like :func:`stratified_sample` the selection is a pure function of
+    the id, so reruns, resumed shards and different cluster sizes pick
+    identical rows; distribution-wise, ranking by a uniform hash is a
+    uniform k-sample without replacement. The heavy lifting is
+    :func:`~karta_ray.stages.topn.grouped_topn` (per-block combiner +
+    bounded-residue shuffle), so shuffle volume is <= k rows per
+    (key, block) — never the corpus."""
+    import pyarrow as pa
+
+    from ..functions.text import md5_u64
+    from .topn import grouped_topn
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        if hasher is None:
+            ids = batch.column(id_col).to_pylist()
+            h = md5_u64([str(i).encode() for i in ids])
+        else:
+            h = hasher(batch.column(id_col))
+        return batch.append_column("_rank", pa.array(h, pa.uint64()))
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = grouped_topn(ranked, keys, "_rank", k, descending=False,
+                       tie_cols=[id_col])
+    return out.drop_columns(["_rank"])

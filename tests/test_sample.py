@@ -95,3 +95,45 @@ class TestStratifiedSample:
             **kw).to_pandas()
         assert set(a.doc_id) == set(b.doc_id)
         assert abs(len(a) / t.num_rows - 0.3) < 0.06
+
+
+class TestGroupedHashSample:
+    def test_exact_k_and_determinism(self, ray_session):
+        import ray
+
+        from karta_ray.stages.sample import grouped_hash_sample
+
+        t = _docs(3000)
+
+        def run(n_blocks):
+            ds = ray.data.from_arrow(t).repartition(n_blocks)
+            out = grouped_hash_sample(ds, keys=["lang"],
+                                      id_col="doc_id", k=7)
+            return (out.to_pandas().sort_values(["lang", "doc_id"])
+                    .reset_index(drop=True))
+
+        a, b = run(1), run(17)
+        assert a.equals(b)
+        counts = a.groupby("lang").size()
+        assert (counts == 7).all()
+
+    def test_small_group_keeps_all(self, ray_session):
+        import ray
+
+        from karta_ray.stages.sample import grouped_hash_sample
+
+        t = _docs(30)
+        out = grouped_hash_sample(
+            ray.data.from_arrow(t), keys=["lang"], id_col="doc_id",
+            k=1000).to_pandas()
+        assert len(out) == 30  # every row survives
+
+    def test_rank_column_dropped(self, ray_session):
+        import ray
+
+        from karta_ray.stages.sample import grouped_hash_sample
+
+        t = _docs(100)
+        out = grouped_hash_sample(ray.data.from_arrow(t),
+                                  keys=["lang"], id_col="doc_id", k=3)
+        assert set(out.schema().names) == set(t.schema.names)

@@ -852,6 +852,7 @@ def new_queries() -> dict:
         "tfidf": q_tfidf,
         "pii_scrub": q_pii_scrub,
         "grouped_sample": q_grouped_sample,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -887,6 +888,7 @@ def new_oracle_sqls() -> dict:
         "tfidf": TFIDF_SQL,
         "pii_scrub": PII_SCRUB_SQL,
         "grouped_sample": GROUPED_SAMPLE_SQL,
+        "dedup_clusters": _dedup_clusters_sql(),
     }
 
 
@@ -1867,3 +1869,57 @@ QUALIFY row_number() OVER (
     ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
 ) <= {SAMPLE_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Dedup clusters (round 4): MinHash near-dup pairs -> distributed
+# connected components (stages/graph.py min-label propagation with
+# pointer jumping) -> one cluster id per document (min doc_id of its
+# component; singletons are their own cluster). The full canonical
+# dedup pipeline: "keep doc_id == cluster_id" is the dedup decision.
+# Oracle: the bit-parity minhash pair SQL extended with a recursive
+# transitive-closure CTE.
+# ---------------------------------------------------------------------------
+
+CLUSTER_THRESHOLD = 0.8
+
+
+def q_dedup_clusters(sf_dir: str):
+    """(doc_id, cluster_id) for every document."""
+    import ray.data
+
+    from ..stages.dedup import minhash_lsh_pairs
+    from ..stages.graph import connected_components
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, threshold=CLUSTER_THRESHOLD)
+    verts = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id"])
+    cc = connected_components(pairs, src="doc_a", dst="doc_b",
+                              vertices=verts, v_col="doc_id")
+    return cc.map_batches(
+        lambda b: b.rename_columns(["doc_id", "cluster_id"]),
+        batch_format="pyarrow")
+
+
+def _dedup_clusters_sql() -> str:
+    from ..stages.dedup import LSH_MAX_BUCKET
+    from .oracles_hard import _minhash_sql
+
+    base = _minhash_sql(128, 16, CLUSTER_THRESHOLD, LSH_MAX_BUCKET)
+    i = base.rindex("\nSELECT doc_a, doc_b")
+    ctes, final = base[:i], base[i + 1:]
+    return (
+        ctes.replace("WITH ", "WITH RECURSIVE ", 1) + ",\n"
+        "pairs AS (" + final + "),\n"
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs\n"
+        "          UNION SELECT doc_b, doc_a FROM pairs),\n"
+        "reach(v, r) AS (SELECT a, b FROM edges\n"
+        "                UNION SELECT reach.v, e.b\n"
+        "                FROM reach JOIN edges e ON reach.r = e.a),\n"
+        "comp AS (SELECT v, min(r) AS m FROM reach GROUP BY v)\n"
+        "SELECT d.doc_id,\n"
+        "       CAST(least(d.doc_id, coalesce(c.m, d.doc_id)) AS BIGINT)"
+        " AS cluster_id\n"
+        "FROM documents d LEFT JOIN comp c ON c.v = d.doc_id")

@@ -1,0 +1,211 @@
+"""Distributed connected components (min-label propagation) — the
+clustering step of a dedup pipeline: near-dup PAIRS in, per-document
+CLUSTER ids out ("keep one doc per component").
+
+Algorithm: every vertex starts labeled with its own id; each round,
+every vertex takes the min of its label and its neighbors' labels;
+fixpoint = components labeled by their min vertex id. Rounds needed =
+component diameter (near-dup components are small cliques/chains, so
+single digits in practice; pass ``max_iters`` to bound adversarial
+graphs).
+
+Every round is three range shuffles built on
+:func:`~karta_ray.stages.agg.sorted_map_groups` — no driver-side
+state, no ``Dataset.join``:
+
+1. **scatter**: adjacency rows (v, nbr) co-shuffled with label rows
+   (v, lbl); each v-run broadcasts its label to its neighbors
+   (vectorized run-indexing, no per-group dispatch);
+2. **gather**: min-combine of (self-label ∪ received labels) per
+   vertex. The combine also counts vertices whose label shrank, so
+   convergence is decided from a one-row aggregate — the driver never
+   sees per-vertex data;
+3. **compress** (pointer jumping): lbl(v) <- lbl(lbl(v)), the same
+   scatter/gather machinery with the label table joined to itself.
+   Compression halves the remaining label-chain depth each round,
+   so convergence takes O(log diameter) rounds instead of
+   O(diameter) — the difference between 6 rounds and 10^3 on a
+   long path graph.
+
+Scale notes: per-round traffic is O(edges). A very high-degree vertex
+makes one scatter run large; runs are processed vectorized so this
+costs memory proportional to the hot vertex's degree on one block
+(same bound as any per-key grouping of its edges). Edge lists are
+deduplicated up front so parallel edges don't amplify traffic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .agg import group_runs, sorted_map_groups, sorted_sum
+
+_INF = np.int64(1 << 62)
+
+
+def _rebase(ds):
+    """Execute ``ds`` and rebuild a Dataset from its raw block refs,
+    SEVERING the logical-plan lineage. ``materialize()`` alone keeps
+    the whole plan history attached, and replanning cost across an
+    iterative loop grows superlinearly with plan depth — a 20-vertex
+    label-propagation round regressed 5 s -> 87 s by round 2 before
+    this (measured; Ray 2.49). Iterative callers must rebase once per
+    round."""
+    import ray.data
+
+    return ray.data.from_arrow_refs(ds.to_arrow_refs())
+
+
+def _scatter_block(batch: pa.Table) -> pa.Table:
+    """Per v-run: row t=0 carries the label; rows t=1 are neighbors.
+    Emit (nbr, lbl, old=INF) per neighbor + (v, lbl, old=lbl) self."""
+    empty = pa.table({"v": pa.array([], pa.int64()),
+                      "lbl": pa.array([], pa.int64()),
+                      "old": pa.array([], pa.int64())})
+    n = batch.num_rows
+    if n == 0:
+        return empty
+    v = batch.column("v").to_numpy()
+    lbl = batch.column("lbl").to_numpy()
+    nbr = batch.column("nbr").to_numpy()
+    t = batch.column("t").to_numpy()
+    starts, ends = group_runs(batch, ["v"])
+    run_id = np.repeat(np.arange(len(starts)), ends - starts)
+    run_lbl = lbl[starts]          # t=0 sorts first within each run
+    is_adj = t == 1
+    out_v = np.concatenate([nbr[is_adj], v[starts]])
+    out_l = np.concatenate([run_lbl[run_id][is_adj], run_lbl])
+    out_o = np.concatenate([np.full(int(is_adj.sum()), _INF), run_lbl])
+    return pa.table({"v": pa.array(out_v.astype(np.int64)),
+                     "lbl": pa.array(out_l.astype(np.int64)),
+                     "old": pa.array(out_o.astype(np.int64))})
+
+
+def _gather_reduce(batch: pa.Table) -> pa.Table:
+    g = batch.group_by(["v"]).aggregate([("lbl", "min"), ("old", "min")])
+    return g.rename_columns(["v", "lbl", "old"])
+
+
+def _gather_block(batch: pa.Table) -> pa.Table:
+    g = _gather_reduce(batch)
+    changed = pa.compute.less(g.column("lbl"), g.column("old"))
+    return g.drop_columns(["old"]).append_column(
+        "changed", pa.compute.cast(changed, pa.int64()))
+
+
+def connected_components(edges, *, src: str = "a", dst: str = "b",
+                         vertices=None, v_col: str = "v",
+                         max_iters: int = 50, verbose: bool = False):
+    """(v, cluster_id) for every vertex; cluster_id = min vertex id of
+    its component. ``edges`` is a Dataset of undirected (src, dst)
+    pairs; ``vertices`` optionally adds isolated vertices (Dataset
+    with column ``v_col``) which come out as their own singletons."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    def to_adj(batch: pa.Table) -> pa.Table:
+        a = batch.column(src).to_numpy().astype(np.int64)
+        b = batch.column(dst).to_numpy().astype(np.int64)
+        return pa.table({"v": pa.array(np.concatenate([a, b])),
+                         "nbr": pa.array(np.concatenate([b, a])),
+                         "n": pa.array(np.ones(2 * len(a), np.int64))})
+
+    # dedup parallel edges so repeated pairs don't amplify every round
+    adj = sorted_sum(edges.map_batches(to_adj, batch_format="pyarrow"),
+                     ["v", "nbr"], ["n"]).drop_columns(["n"])
+    adj = _rebase(adj)
+
+    def init_from_adj(batch: pa.Table) -> pa.Table:
+        return pa.table({"v": batch.column("v"),
+                         "lbl": batch.column("v"),
+                         "n": pa.array(np.ones(batch.num_rows, np.int64))})
+
+    lbl_src = adj.select_columns(["v"])
+    if vertices is not None:
+        vs = vertices.map_batches(
+            lambda b: pa.table({"v": pc.cast(b.column(v_col),
+                                             pa.int64())}),
+            batch_format="pyarrow")
+        lbl_src = lbl_src.union(vs)
+    labels = (sorted_sum(lbl_src.map_batches(
+                  init_from_adj, batch_format="pyarrow"), ["v"], ["n"])
+              .drop_columns(["n"])
+              .map_batches(lambda b: b.append_column(
+                  "lbl", b.column("v")), batch_format="pyarrow")
+              )
+    labels = _rebase(labels)
+
+    def tag_adj(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"v": batch.column("v"),
+                         "lbl": pa.array(np.zeros(n, np.int64)),
+                         "nbr": batch.column("nbr"),
+                         "t": pa.array(np.ones(n, np.int8))})
+
+    adj_tagged = _rebase(adj.map_batches(tag_adj,
+                                         batch_format="pyarrow"))
+
+    # every sorted_map_groups union appends blocks (main + residue), so
+    # an unchecked loop grows the label table's block count each round
+    # and Ray's per-block fixed costs compound; re-coalesce to the
+    # adjacency's block count once per round
+    n_blocks = max(adj_tagged.num_blocks(), 1)
+
+    def tag_lbl(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"v": batch.column("v"),
+                         "lbl": batch.column("lbl"),
+                         "nbr": pa.array(np.zeros(n, np.int64)),
+                         "t": pa.array(np.zeros(n, np.int8))})
+
+    def compress(labels):
+        """One pointer jump: lbl(v) <- lbl(lbl(v)). Rows keyed by the
+        CURRENT label are co-shuffled with the label table keyed by
+        vertex; the value run broadcasts its own label to the pointer
+        rows — the same scatter kernel, keys swapped."""
+        def as_query(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({"v": batch.column("lbl"),
+                             "lbl": pa.array(np.zeros(n, np.int64)),
+                             "nbr": batch.column("v"),
+                             "t": pa.array(np.ones(n, np.int8))})
+
+        both = (labels.map_batches(as_query, batch_format="pyarrow")
+                .union(labels.map_batches(tag_lbl,
+                                          batch_format="pyarrow")))
+        msgs = sorted_map_groups(both, ["v"], _scatter_block,
+                                 sort_keys=["v", "t"])
+        # each nbr (= original v) received exactly one candidate
+        # lbl(lbl(v)) plus its own self row; min-combine keeps the
+        # root-ward label (labels only ever decrease root-ward)
+        return sorted_map_groups(msgs, ["v"], _gather_block,
+                                 pre_reduce=_gather_reduce)
+
+    for it in range(max_iters):
+        if verbose:
+            import time
+            t0 = time.time()
+        both = adj_tagged.union(labels.map_batches(
+            tag_lbl, batch_format="pyarrow"))
+        msgs = sorted_map_groups(both, ["v"], _scatter_block,
+                                 sort_keys=["v", "t"])
+        prop = _rebase(sorted_map_groups(msgs, ["v"], _gather_block,
+                                       pre_reduce=_gather_reduce))
+        n_changed = prop.sum("changed") or 0
+        labels = prop.drop_columns(["changed"])
+        if not n_changed:
+            # propagation fixpoint: lbl(v) <= lbl(u) across every edge
+            # in both directions => labels constant per component =
+            # the component min. Compression is pure acceleration, so
+            # it plays no part in the termination proof.
+            break
+        labels = _rebase(compress(labels).drop_columns(["changed"])
+                         .repartition(n_blocks))
+        if verbose:
+            print(f"[cc] round {it}: changed={n_changed} "
+                  f"({time.time() - t0:.1f}s)", flush=True)
+
+    return labels.map_batches(
+        lambda b: b.rename_columns(["v", "cluster_id"]),
+        batch_format="pyarrow")

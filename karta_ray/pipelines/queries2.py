@@ -853,6 +853,8 @@ def new_queries() -> dict:
         "pii_scrub": q_pii_scrub,
         "grouped_sample": q_grouped_sample,
         "dedup_clusters": q_dedup_clusters,
+        "quality_filter": q_quality_filter,
+        "bloom_anti_join": q_bloom_anti_join,
     }
 
 
@@ -889,6 +891,8 @@ def new_oracle_sqls() -> dict:
         "pii_scrub": PII_SCRUB_SQL,
         "grouped_sample": GROUPED_SAMPLE_SQL,
         "dedup_clusters": _dedup_clusters_sql(),
+        "quality_filter": QUALITY_FILTER_SQL,
+        "bloom_anti_join": BLOOM_ANTI_JOIN_SQL,
     }
 
 
@@ -1923,3 +1927,81 @@ def _dedup_clusters_sql() -> str:
         "       CAST(least(d.doc_id, coalesce(c.m, d.doc_id)) AS BIGINT)"
         " AS cluster_id\n"
         "FROM documents d LEFT JOIN comp c ON c.v = d.doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Quality filter (round 4): keep documents at or above their
+# language's median length — the standard per-stratum quality gate,
+# composed from the distributed exact-quantile stage (histogram
+# shuffle, not a data shuffle) + a broadcast threshold lookup.
+# ---------------------------------------------------------------------------
+
+def q_quality_filter(sf_dir: str):
+    """(doc_id, lang, n_chars) of docs with n_chars >= per-lang median
+    (quantile_disc semantics)."""
+    import ray
+    import ray.data
+
+    from ..stages.quantile import grouped_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+    med = grouped_quantiles(ds.select_columns(["lang", "n_chars"]),
+                            ["lang"], "n_chars", [50])
+    # one row per language — bounded, safe to collect and broadcast
+    thr = {r["lang"]: r["p50"] for r in med.take_all()}
+    ref = ray.put(thr)
+
+    def keep(batch: pa.Table, *, ref=ref) -> pa.Table:
+        t = ray.get(ref) if not isinstance(ref, dict) else ref
+        langs = batch.column("lang").to_pylist()
+        n = batch.column("n_chars").to_numpy()
+        lim = np.fromiter((t[l] for l in langs), dtype=np.int64,
+                          count=len(langs))
+        return batch.filter(pa.array(n >= lim))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+QUALITY_FILTER_SQL = """
+SELECT doc_id, lang, n_chars
+FROM (SELECT doc_id, lang, n_chars,
+             quantile_disc(n_chars, 0.5) OVER (PARTITION BY lang) AS med
+      FROM documents)
+WHERE n_chars >= med
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom anti-join (round 4): lineitems of NON-urgent orders — the
+# blocklist/tombstone filter shape. Most of the corpus misses the
+# bloom and never enters the verify join; only hits (members + FP
+# fraction) are joined.
+# ---------------------------------------------------------------------------
+
+def q_bloom_anti_join(sf_dir: str):
+    """(l_orderkey, l_partkey, l_quantity) of lineitems whose order is
+    NOT 1-URGENT."""
+    import ray.data
+
+    from ..stages.bloomjoin import bloom_semi_join
+
+    left = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"])
+    right = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"]).filter(
+        lambda r: r["o_orderpriority"] == "1-URGENT")
+    return bloom_semi_join(left, right.map_batches(
+        lambda b: b.select(["o_orderkey"]).rename_columns(["l_orderkey"]),
+        batch_format="pyarrow"), key="l_orderkey", anti=True)
+
+
+BLOOM_ANTI_JOIN_SQL = """
+SELECT l_orderkey, l_partkey, l_quantity
+FROM lineitem
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT')
+"""

@@ -101,33 +101,48 @@ def build_bloom(right, *, key: str, m_bits: int, n_hashes: int,
 def bloom_semi_join(left, right, *, key: str,
                     m_bits: int = 1 << 23, n_hashes: int = 4,
                     right_distinct: bool = True, exact: bool = True,
-                    num_partitions: int = 8):
-    """Exact semi-join ``left`` ⋉ ``right`` on int64 ``key``.
+                    anti: bool = False, num_partitions: int = 8):
+    """Exact semi-join ``left`` ⋉ ``right`` on int64 ``key``, or the
+    anti-join (left rows whose key is NOT in right) with ``anti=True``.
 
     ``right_distinct=True`` asserts right keys are already unique
     (e.g. a primary key) and skips the dedup shuffle; otherwise the
     right side is group-reduced first. ``exact=False`` skips the
-    verify join and returns the bloom survivors (superset of the true
-    result, FP-rate documented above) — the streaming pre-filter mode.
+    verify join: for the semi-join it returns the bloom survivors
+    (SUPERSET of the true result, FP-rate documented above); for the
+    anti-join it returns the bloom misses (SUBSET — blooms have no
+    false negatives, so every miss is a definite non-member). The
+    anti-join is where the bloom shines: typically most of the corpus
+    misses the filter and never enters the verify join at all — only
+    the bloom hits (true members + the tiny FP fraction) are joined.
     """
     bm_ref, _ = build_bloom(right, key=key, m_bits=m_bits,
                             n_hashes=n_hashes)
 
-    def probe(batch: pa.Table, *, ref=bm_ref) -> pa.Table:
-        import ray
+    def make_probe(keep_hits: bool):
+        def probe(batch: pa.Table, *, ref=bm_ref) -> pa.Table:
+            import ray
 
-        bm = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
-        k = batch.column(key).to_numpy(zero_copy_only=False)
-        if not len(k):
-            return batch
-        pos = _positions(k, m_bits, n_hashes)
-        hit = (bm[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))
-               ).astype(bool).all(axis=1)
-        return batch.take(pa.array(np.nonzero(hit)[0]))
+            bm = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+            k = batch.column(key).to_numpy(zero_copy_only=False)
+            if not len(k):
+                return batch
+            pos = _positions(k, m_bits, n_hashes)
+            hit = (bm[pos >> 3]
+                   & (np.uint8(1) << (pos & 7).astype(np.uint8))
+                   ).astype(bool).all(axis=1)
+            want = hit if keep_hits else ~hit
+            return batch.take(pa.array(np.nonzero(want)[0]))
+        return probe
 
-    survivors = left.map_batches(probe, batch_format="pyarrow",
+    survivors = left.map_batches(make_probe(True),
+                                 batch_format="pyarrow",
                                  zero_copy_batch=True)
     if not exact:
+        if anti:
+            return left.map_batches(make_probe(False),
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True)
         return survivors
 
     rkeys = right.map_batches(
@@ -152,6 +167,28 @@ def bloom_semi_join(left, right, *, key: str,
         rkeys = _drop_empty_blocks(rkeys)
 
     out_cols = left.schema().base_schema.names
+    if anti:
+        import pyarrow.compute as pc
+
+        misses = left.map_batches(make_probe(False),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        # false positives: bloom hits with no matching right key
+        # (the join coalesces the key columns, so unmatched rows are
+        # detected via an explicit marker column on the right side)
+        marked = rkeys.map_batches(
+            lambda b: b.append_column(
+                "__bloom_hit",
+                pa.array(np.ones(b.num_rows, dtype=np.int8))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        joined = survivors.join(marked, "left_outer",
+                                num_partitions=num_partitions,
+                                on=(key,), right_on=("__bloom_rkey",))
+        fps = joined.map_batches(
+            lambda b: b.filter(pc.is_null(b.column("__bloom_hit"))
+                               ).select(out_cols),
+            batch_format="pyarrow", zero_copy_batch=True)
+        return misses.union(fps)
     joined = survivors.join(rkeys, "inner",
                             num_partitions=num_partitions,
                             on=(key,), right_on=("__bloom_rkey",))

@@ -66,3 +66,43 @@ class TestBloomSemiJoin:
         got = bloom_semi_join(left, right, key="l_orderkey",
                               right_distinct=False).to_pandas()
         assert sorted(got["l_orderkey"].tolist()) == [5, 17, 99]
+
+
+class TestBloomAntiJoin:
+    def test_exact_anti_parity(self, ray_session):
+        import ray
+
+        from karta_ray.stages.bloomjoin import bloom_semi_join
+
+        rng = np.random.RandomState(5)
+        lk = rng.randint(0, 3000, 20000).astype(np.int64)
+        rk = np.unique(rng.choice(3000, 400, replace=False)).astype(
+            np.int64)
+        left = pa.table({"k": pa.array(lk),
+                         "x": pa.array(np.arange(len(lk), dtype=np.int64))})
+        right = pa.table({"k": pa.array(rk)})
+        out = bloom_semi_join(
+            ray.data.from_arrow(left).repartition(7),
+            ray.data.from_arrow(right), key="k", anti=True,
+            m_bits=1 << 12)  # tiny bitmap -> plenty of FPs to verify
+        got = sorted((r["k"], r["x"]) for r in out.take_all())
+        rset = set(rk.tolist())
+        exp = sorted((int(k), int(x)) for k, x in zip(lk, range(len(lk)))
+                     if int(k) not in rset)
+        assert got == exp
+
+    def test_approx_anti_is_subset(self, ray_session):
+        import ray
+
+        from karta_ray.stages.bloomjoin import bloom_semi_join
+
+        rng = np.random.RandomState(6)
+        lk = rng.randint(0, 500, 5000).astype(np.int64)
+        rk = np.arange(0, 100, dtype=np.int64)
+        left = pa.table({"k": pa.array(lk)})
+        right = pa.table({"k": pa.array(rk)})
+        out = bloom_semi_join(ray.data.from_arrow(left),
+                              ray.data.from_arrow(right), key="k",
+                              anti=True, exact=False, m_bits=1 << 10)
+        got = [r["k"] for r in out.take_all()]
+        assert all(k >= 100 for k in got)  # no false "non-member"

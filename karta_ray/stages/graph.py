@@ -146,11 +146,16 @@ def connected_components(edges, *, src: str = "a", dst: str = "b",
     adj_tagged = _rebase(adj.map_batches(tag_adj,
                                          batch_format="pyarrow"))
 
-    # every sorted_map_groups union appends blocks (main + residue), so
-    # an unchecked loop grows the label table's block count each round
-    # and Ray's per-block fixed costs compound; re-coalesce to the
-    # adjacency's block count once per round
-    n_blocks = max(adj_tagged.num_blocks(), 1)
+    # Bound the working block count: every sorted_map_groups union
+    # appends blocks (main + residue) so an unchecked loop grows the
+    # label table's block count each round, and upstream parquet reads
+    # can hand us hundreds of near-empty blocks — either way the
+    # per-round cost becomes per-block fixed overhead, not data. Size
+    # to the data (~64k rows/block), not to the input's block count.
+    n_rows = adj_tagged.count() + labels.count()
+    n_blocks = int(max(1, min(256, n_rows // 65536 + 1)))
+    adj_tagged = _rebase(adj_tagged.repartition(n_blocks))
+    labels = _rebase(labels.repartition(n_blocks))
 
     def tag_lbl(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -200,8 +205,14 @@ def connected_components(edges, *, src: str = "a", dst: str = "b",
             # the component min. Compression is pure acceleration, so
             # it plays no part in the termination proof.
             break
-        labels = _rebase(compress(labels).drop_columns(["changed"])
-                         .repartition(n_blocks))
+        if it >= 1:
+            # skip compression in round 0: near-dup graphs are mostly
+            # diameter-1/2 cliques that propagation alone finishes in
+            # one round, making round-0 compression two wasted
+            # shuffles; deeper graphs still get O(log d) compression
+            # from round 1 on
+            labels = compress(labels).drop_columns(["changed"])
+        labels = _rebase(labels.repartition(n_blocks))
         if verbose:
             print(f"[cc] round {it}: changed={n_changed} "
                   f"({time.time() - t0:.1f}s)", flush=True)

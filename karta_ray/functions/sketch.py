@@ -18,13 +18,12 @@ def hll_create(p: int = _P_DEFAULT) -> np.ndarray:
     return np.zeros(1 << p, dtype=np.uint8)
 
 
-def hll_add_hashes(registers: np.ndarray, hashes: np.ndarray) -> np.ndarray:
-    """Fold 64-bit hashes into the register array (vectorized)."""
-    p = int(np.log2(len(registers)))
+def hll_bucket_rank(hashes: np.ndarray, p: int):
+    """(bucket index, rank) per 64-bit hash (vectorized): bucket = top
+    p bits, rank = leading zeros of the shifted remainder + 1."""
     h = hashes.astype(np.uint64)
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = (h << np.uint64(p)) | (np.uint64(1) << np.uint64(p - 1))
-    # rank = leading zeros of the remaining bits + 1
     lz = np.zeros(len(h), dtype=np.uint8)
     mask = np.uint64(1) << np.uint64(63)
     cur = rest.copy()
@@ -34,6 +33,13 @@ def hll_add_hashes(registers: np.ndarray, hashes: np.ndarray) -> np.ndarray:
         lz[hit] = i + 1
         found |= hit
         cur = cur << np.uint64(1)
+    return idx, lz
+
+
+def hll_add_hashes(registers: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Fold 64-bit hashes into the register array (vectorized)."""
+    p = int(np.log2(len(registers)))
+    idx, lz = hll_bucket_rank(hashes, p)
     np.maximum.at(registers, idx, lz)
     return registers
 
@@ -202,3 +208,42 @@ def cm_estimate(rows, queries, *, width: int = 4096,
     h = hash_column_u64(pa.array([str(q) for q in queries]))
     idx = cm_bucket_indices(h, width, depth)
     return np.min(mat[np.arange(depth)[:, None], idx], axis=0)
+
+
+def hll_grouped_register_rows(ds, col: str, keys: list,
+                              p: int = _P_DEFAULT, *,
+                              hash_fn: str = "md5"):
+    """GROUPED HLL: one sketch per distinct ``keys`` value, as rows
+    (keys..., bucket, register) — "approx distinct users per event
+    type" in one pass. The partial dedups (keys, value) pairs in-block
+    (the register set is duplicate-invariant), folds each pair to its
+    (bucket, rank), and max-combines per (keys, bucket) with Arrow's
+    C++ group_by; partials tree-combine by max. Traffic per block is
+    bounded by distinct-keys-per-block x 2^p rows regardless of row
+    count. ``hash_fn`` semantics as in :func:`hll_register_rows`."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.agg import tree_agg
+    from .text import hash_column_u64, md5_u64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uniq = (batch.select(keys + [col])
+                .group_by(keys + [col]).aggregate([]))
+        if hash_fn == "md5":
+            vals = pc.cast(uniq.column(col), pa.string()).to_pylist()
+            h = md5_u64([("" if v is None else v).encode()
+                         for v in vals])
+        else:
+            h = hash_column_u64(uniq.column(col))
+        idx, lz = hll_bucket_rank(h, p)
+        t = (uniq.select(keys)
+             .append_column("bucket", pa.array(idx))
+             .append_column("register",
+                            pa.array(lz.astype(np.int64))))
+        g = (t.group_by(keys + ["bucket"])
+             .aggregate([("register", "max")]))
+        return g.rename_columns(keys + ["bucket", "register"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return tree_agg(parts, keys + ["bucket"], [("register", "max")])

@@ -855,6 +855,7 @@ def new_queries() -> dict:
         "dedup_clusters": q_dedup_clusters,
         "quality_filter": q_quality_filter,
         "bloom_anti_join": q_bloom_anti_join,
+        "grouped_distinct": q_grouped_distinct,
     }
 
 
@@ -893,6 +894,7 @@ def new_oracle_sqls() -> dict:
         "dedup_clusters": _dedup_clusters_sql(),
         "quality_filter": QUALITY_FILTER_SQL,
         "bloom_anti_join": BLOOM_ANTI_JOIN_SQL,
+        "grouped_distinct": _grouped_distinct_sql(),
     }
 
 
@@ -2004,4 +2006,46 @@ SELECT l_orderkey, l_partkey, l_quantity
 FROM lineitem
 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
                          WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped HLL (round 4): one distinct-user sketch PER EVENT TYPE in a
+# single pass (functions/sketch.py::hll_grouped_register_rows) —
+# sketch-groupby, the 100-TB shape for per-segment cardinality
+# dashboards. Output is the sketch itself (bit-parity SQL mirror);
+# estimates are asserted against exact distincts in pytest.
+# ---------------------------------------------------------------------------
+
+GROUPED_HLL_P = 12
+
+
+def q_grouped_distinct(sf_dir: str):
+    """(event_type, bucket, register) — one HLL per event type."""
+    import ray.data
+
+    from ..functions.sketch import hll_grouped_register_rows
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    return hll_grouped_register_rows(ds, "user_id", ["event_type"],
+                                     GROUPED_HLL_P)
+
+
+def _grouped_distinct_sql(p: int = GROUPED_HLL_P) -> str:
+    w64 = 1 << 64
+    cases = " ".join(f"WHEN rest >= {1 << (63 - i)}::UBIGINT THEN {i + 1}"
+                     for i in range(0, 64 - p + 1))
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         md5_number_lower(CAST(user_id AS VARCHAR)) AS hv FROM events),
+r AS (
+  SELECT event_type, CAST(hv >> {64 - p} AS BIGINT) AS bucket,
+         CAST((CAST(hv AS HUGEINT) * {1 << p}) % {w64} AS UBIGINT)
+           | {1 << (p - 1)}::UBIGINT AS rest
+  FROM h)
+SELECT event_type, bucket,
+       CAST(MAX(CASE {cases} END) AS BIGINT) AS register
+FROM r GROUP BY event_type, bucket
 """

@@ -96,3 +96,49 @@ class TestCountMin:
                           for r in ds.take_all())
 
         assert collect(1) == collect(11)
+
+
+class TestGroupedHLL:
+    def test_estimates_near_exact_per_group(self, ray_session):
+        import ray
+
+        from karta_ray.functions.sketch import (hll_count_from_rows,
+                                                hll_grouped_register_rows)
+
+        rng = np.random.RandomState(31)
+        n = 40000
+        t = pa.table({
+            "g": pa.array(rng.choice(["a", "b", "c"], n).tolist()),
+            "u": pa.array(rng.randint(0, 5000, n).astype("int64")),
+        })
+        rows = hll_grouped_register_rows(
+            ray.data.from_arrow(t).repartition(9), "u", ["g"],
+            12, hash_fn="fast").take_all()
+        pdf = t.to_pandas()
+        for g in ("a", "b", "c"):
+            sub = [r for r in rows if r["g"] == g]
+            est = hll_count_from_rows(
+                {"bucket": [r["bucket"] for r in sub],
+                 "register": [r["register"] for r in sub]}, 12)
+            exact = pdf[pdf.g == g].u.nunique()
+            assert abs(est - exact) / exact < 0.05, (g, est, exact)
+
+    def test_partition_invariance(self, ray_session):
+        import ray
+
+        from karta_ray.functions.sketch import hll_grouped_register_rows
+
+        rng = np.random.RandomState(8)
+        t = pa.table({
+            "g": pa.array(rng.choice(["x", "y"], 5000).tolist()),
+            "u": pa.array(rng.randint(0, 800, 5000).astype("int64")),
+        })
+
+        def run(nb):
+            rows = hll_grouped_register_rows(
+                ray.data.from_arrow(t).repartition(nb), "u", ["g"],
+                10, hash_fn="fast").take_all()
+            return sorted((r["g"], r["bucket"], r["register"])
+                          for r in rows)
+
+        assert run(1) == run(13)

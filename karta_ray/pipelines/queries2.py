@@ -856,6 +856,7 @@ def new_queries() -> dict:
         "quality_filter": q_quality_filter,
         "bloom_anti_join": q_bloom_anti_join,
         "grouped_distinct": q_grouped_distinct,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
     }
 
 
@@ -895,6 +896,7 @@ def new_oracle_sqls() -> dict:
         "quality_filter": QUALITY_FILTER_SQL,
         "bloom_anti_join": BLOOM_ANTI_JOIN_SQL,
         "grouped_distinct": _grouped_distinct_sql(),
+        "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
     }
 
 
@@ -2048,4 +2050,59 @@ r AS (
 SELECT event_type, bucket,
        CAST(MAX(CASE {cases} END) AS BIGINT) AS register
 FROM r GROUP BY event_type, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# JSONL interchange round-trip (round 4): documents -> newline-
+# delimited JSON shards (ray write_json) -> parallel read_json ->
+# aggregate. Exercises the jsonl source/sink path every web-corpus
+# pipeline starts from. Scratch goes under /tmp: driver-local, fine
+# single-node; on a multi-node cluster point it at shared storage
+# (same caveat as the geotiff fixture, documented).
+# ---------------------------------------------------------------------------
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """(lang, n_docs, sum_chars) aggregated AFTER a jsonl round-trip —
+    equality with the direct aggregate proves the codec lossless."""
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from ..stages.agg import tree_sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+    out = tempfile.mkdtemp(prefix="karta_jsonl_")
+    try:
+        ds.write_json(out)
+        back = ray.data.read_json(out)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            t = pa.table({
+                "lang": batch.column("lang"),
+                "n_docs": pa.array(np.ones(batch.num_rows, np.int64)),
+                "sum_chars": pc.cast(batch.column("n_chars"),
+                                     pa.int64()),
+            })
+            g = t.group_by(["lang"]).aggregate(
+                [("n_docs", "sum"), ("sum_chars", "sum")])
+            return g.rename_columns(["lang", "n_docs", "sum_chars"])
+
+        # materialize before the scratch dir is deleted
+        import ray as _ray
+
+        res = tree_sum(back.map_batches(partial,
+                                        batch_format="pyarrow"),
+                       ["lang"], ["n_docs", "sum_chars"]).materialize()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+JSONL_ROUNDTRIP_SQL = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
 """

@@ -857,6 +857,7 @@ def new_queries() -> dict:
         "bloom_anti_join": q_bloom_anti_join,
         "grouped_distinct": q_grouped_distinct,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "lang_centroids": q_lang_centroids,
     }
 
 
@@ -897,6 +898,7 @@ def new_oracle_sqls() -> dict:
         "bloom_anti_join": BLOOM_ANTI_JOIN_SQL,
         "grouped_distinct": _grouped_distinct_sql(),
         "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
+        "lang_centroids": LANG_CENTROIDS_SQL,
     }
 
 
@@ -2105,4 +2107,87 @@ JSONL_ROUNDTRIP_SQL = """
 SELECT lang, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-language embedding centroids (round 4): distributed hash join of
+# the embeddings table against document metadata, then a (lang, dim)
+# vector-sum tree combine (the kmeans partial shape) — the standard
+# "mean embedding per segment" analysis. Centroid rounded to 6 dp on
+# both sides (float-sum order differs between engines; same quantize
+# convention as tfidf/project_conic).
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+
+
+def q_lang_centroids(sf_dir: str):
+    """(lang, dim, centroid): elementwise mean embedding per language."""
+    import ray.data
+
+    from ..stages.agg import tree_sum
+
+    from ..functions.arrays import (binary_column_to_matrix,
+                                    matrix_to_binary_column)
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang"])
+
+    # Arrow's hash join rejects nested payload columns — carry the
+    # vector through the shuffle as a fixed-width binary blob
+    def pack(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch.column("embedding").combine_chunks()
+                         .flatten().to_numpy(zero_copy_only=False),
+                         dtype=np.float32).reshape(-1, EMB_DIM)
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "vec": matrix_to_binary_column(mat)})
+
+    joined = emb.map_batches(pack, batch_format="pyarrow").join(
+        docs, "inner", num_partitions=8,
+        on=("vec_id",), right_on=("doc_id",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        mat = binary_column_to_matrix(batch.column("vec"), np.float32,
+                                      EMB_DIM).astype(np.float64)
+        out_l, out_d, out_s, out_n = [], [], [], []
+        for lang in sorted(set(langs)):
+            m = np.array([x == lang for x in langs])
+            out_l.extend([lang] * EMB_DIM)
+            out_d.append(np.arange(EMB_DIM, dtype=np.int64))
+            out_s.append(mat[m].sum(axis=0))
+            out_n.append(np.full(EMB_DIM, int(m.sum()), np.int64))
+        return pa.table({
+            "lang": pa.array(out_l),
+            "dim": pa.array(np.concatenate(out_d)),
+            "s": pa.array(np.concatenate(out_s), pa.float64()),
+            "n": pa.array(np.concatenate(out_n)),
+        })
+
+    rows = tree_sum(joined.map_batches(partial, batch_format="pyarrow"),
+                    ["lang", "dim"], ["s", "n"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("s").to_numpy()
+        n = batch.column("n").to_numpy()
+        return pa.table({
+            "lang": batch.column("lang"),
+            "dim": batch.column("dim"),
+            "centroid": pa.array(np.round(s / n, 6), pa.float64()),
+        })
+
+    return rows.map_batches(finish, batch_format="pyarrow")
+
+
+LANG_CENTROIDS_SQL = f"""
+SELECT d.lang, CAST(u.i - 1 AS BIGINT) AS dim,
+       round(sum(CAST(e.embedding[u.i] AS DOUBLE)) / count(*), 6)
+         AS centroid
+FROM embeddings e
+JOIN documents d ON d.doc_id = e.vec_id
+CROSS JOIN (SELECT unnest(range(1, {EMB_DIM + 1})) AS i) u
+GROUP BY d.lang, u.i
 """

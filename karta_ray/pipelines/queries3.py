@@ -1,0 +1,152 @@
+"""Round-4 (late) oracle queries: corpus profiling and data-quality
+operators over the documents/events tables.
+
+Same parity rules as queries.py / queries2.py: exact-integer or
+byte-deterministic outputs only; float accumulations never compared
+unless both engines run the identical IEEE op sequence.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# 1. Table profiling: per-column nulls / exact distinct / byte lengths /
+# min-max — the standard first pass over an unknown corpus. One scan,
+# one shuffle:
+#   stats (n, nulls, sum_len, min, max)  -> tree_agg partials (5 rows)
+#   exact distinct -> per-block value dedup, 128-bit value hashes
+#     (two independent vectorized 64-bit hashes; collision-free in
+#     practice at any corpus size, and the shuffle ships 21 B/unique
+#     value instead of the value bytes), sorted range shuffle, run
+#     counting per column, tree-summed counts.
+# Scale: shuffle volume is O(#distinct values x 21 B) regardless of
+# document sizes; driver holds only the 2x5-row finals.
+# ---------------------------------------------------------------------------
+
+PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def q_profile_table(sf_dir: str):
+    """(col, n_rows, n_null, n_distinct, sum_len, min_v, max_v) per
+    documents column; values compared as their decimal/UTF-8 string
+    forms (identical in Arrow and DuckDB), lengths in bytes."""
+    import ray.data
+
+    from ..functions.text import hash_column_u64
+    from ..stages.agg import group_runs, sorted_map_groups, tree_agg, tree_sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=PROFILE_COLS)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        out = {"col": [], "n_rows": [], "n_null": [], "sum_len": [],
+               "min_v": [], "max_v": []}
+        for c in PROFILE_COLS:
+            arr = batch.column(c)
+            s = pc.cast(arr, pa.string())
+            mm = pc.min_max(s)
+            out["col"].append(c)
+            out["n_rows"].append(batch.num_rows)
+            out["n_null"].append(arr.null_count)
+            out["sum_len"].append(pc.sum(pc.binary_length(s)).as_py() or 0)
+            out["min_v"].append(mm["min"].as_py())
+            out["max_v"].append(mm["max"].as_py())
+        return pa.table({
+            "col": pa.array(out["col"], pa.string()),
+            "n_rows": pa.array(out["n_rows"], pa.int64()),
+            "n_null": pa.array(out["n_null"], pa.int64()),
+            "sum_len": pa.array(out["sum_len"], pa.int64()),
+            "min_v": pa.array(out["min_v"], pa.string()),
+            "max_v": pa.array(out["max_v"], pa.string()),
+        })
+
+    stats = tree_agg(
+        ds.map_batches(stats_partial, batch_format="pyarrow"),
+        ["col"], [("n_rows", "sum"), ("n_null", "sum"), ("sum_len", "sum"),
+                  ("min_v", "min"), ("max_v", "max")])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        cols, h1s, h2s = [], [], []
+        for c in PROFILE_COLS:
+            s = pc.cast(batch.column(c), pa.string())
+            uniq = pc.unique(pc.drop_null(s))
+            if len(uniq) == 0:
+                continue
+            h1 = hash_column_u64(uniq)
+            # independent second hash: hash of value + sentinel suffix
+            # (NOT derived from h1 — a 64-bit collision of h1 does not
+            # imply one of h2), giving 128 collision bits total
+            h2 = hash_column_u64(
+                pc.binary_join_element_wise(uniq, "\x01s", ""))
+            cols.append(np.full(len(uniq), PROFILE_COLS.index(c),
+                                dtype=np.int64))
+            h1s.append(h1.view(np.int64))
+            h2s.append(h2.view(np.int64))
+        if not cols:
+            return pa.table({"colid": pa.array([], pa.int64()),
+                             "h1": pa.array([], pa.int64()),
+                             "h2": pa.array([], pa.int64())})
+        return pa.table({"colid": pa.array(np.concatenate(cols)),
+                         "h1": pa.array(np.concatenate(h1s)),
+                         "h2": pa.array(np.concatenate(h2s))})
+
+    pairs = ds.map_batches(pair_partial, batch_format="pyarrow")
+
+    def dedup_edge(batch: pa.Table) -> pa.Table:
+        # pre_reduce: collapse an edge run to its (already unique) key
+        return batch.group_by(["colid", "h1", "h2"]).aggregate([])
+
+    def count_runs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"colid": pa.array([], pa.int64()),
+                             "nd": pa.array([], pa.int64())})
+        starts, _ = group_runs(batch, ["colid", "h1", "h2"])
+        colid = batch.column("colid").to_numpy()[starts]
+        uniq, counts = np.unique(colid, return_counts=True)
+        return pa.table({"colid": pa.array(uniq.astype(np.int64)),
+                         "nd": pa.array(counts.astype(np.int64))})
+
+    nd = tree_sum(
+        sorted_map_groups(pairs, ["colid", "h1", "h2"], count_runs,
+                          pre_reduce=dedup_edge),
+        ["colid"], ["nd"])
+
+    # finals are 5 rows each — driver-side assembly is O(1)
+    st = stats.take_all()
+    nd_rows = {r["colid"]: r["nd"] for r in nd.take_all()}
+    st.sort(key=lambda r: r["col"])
+    return pa.table({
+        "col": pa.array([r["col"] for r in st], pa.string()),
+        "n_rows": pa.array([r["n_rows"] for r in st], pa.int64()),
+        "n_null": pa.array([r["n_null"] for r in st], pa.int64()),
+        "n_distinct": pa.array(
+            [nd_rows[PROFILE_COLS.index(r["col"])] for r in st], pa.int64()),
+        "sum_len": pa.array([r["sum_len"] for r in st], pa.int64()),
+        "min_v": pa.array([r["min_v"] for r in st], pa.string()),
+        "max_v": pa.array([r["max_v"] for r in st], pa.string()),
+    })
+
+
+PROFILE_TABLE_SQL = "\nUNION ALL\n".join(f"""
+SELECT '{c}' AS col, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(SUM(strlen(CAST({c} AS VARCHAR))) AS BIGINT) AS sum_len,
+       MIN(CAST({c} AS VARCHAR)) AS min_v,
+       MAX(CAST({c} AS VARCHAR)) AS max_v
+FROM documents""" for c in PROFILE_COLS)
+
+
+def new_queries3() -> dict:
+    return {
+        "profile_table": q_profile_table,
+    }
+
+
+def new_oracle_sqls3() -> dict:
+    return {
+        "profile_table": PROFILE_TABLE_SQL,
+    }

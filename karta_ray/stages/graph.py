@@ -112,6 +112,11 @@ def connected_components(edges, *, src: str = "a", dst: str = "b",
                          "n": pa.array(np.ones(2 * len(a), np.int64))})
 
     # dedup parallel edges so repeated pairs don't amplify every round
+    # (execution 1 — every other pre-loop step is folded into the
+    # round-0 input plan below: at web scale the shuffles dominate and
+    # the schedule doesn't matter, but on the small end each separate
+    # plan execution costs ~0.5-1 s of fixed overhead, and the original
+    # 5-execution pre-loop was pure overhead)
     adj = sorted_sum(edges.map_batches(to_adj, batch_format="pyarrow"),
                      ["v", "nbr"], ["n"]).drop_columns(["n"])
     adj = _rebase(adj)
@@ -122,19 +127,14 @@ def connected_components(edges, *, src: str = "a", dst: str = "b",
                          "n": pa.array(np.ones(batch.num_rows, np.int64))})
 
     lbl_src = adj.select_columns(["v"])
+    n_vert = 0
     if vertices is not None:
         vs = vertices.map_batches(
             lambda b: pa.table({"v": pc.cast(b.column(v_col),
                                              pa.int64())}),
             batch_format="pyarrow")
         lbl_src = lbl_src.union(vs)
-    labels = (sorted_sum(lbl_src.map_batches(
-                  init_from_adj, batch_format="pyarrow"), ["v"], ["n"])
-              .drop_columns(["n"])
-              .map_batches(lambda b: b.append_column(
-                  "lbl", b.column("v")), batch_format="pyarrow")
-              )
-    labels = _rebase(labels)
+        n_vert = vertices.count()   # parquet metadata / cached — cheap
 
     def tag_adj(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -143,8 +143,12 @@ def connected_components(edges, *, src: str = "a", dst: str = "b",
                          "nbr": batch.column("nbr"),
                          "t": pa.array(np.ones(n, np.int8))})
 
-    adj_tagged = _rebase(adj.map_batches(tag_adj,
-                                         batch_format="pyarrow"))
+    def tag_lbl(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"v": batch.column("v"),
+                         "lbl": batch.column("lbl"),
+                         "nbr": pa.array(np.zeros(n, np.int64)),
+                         "t": pa.array(np.zeros(n, np.int8))})
 
     # Bound the working block count: every sorted_map_groups union
     # appends blocks (main + residue) so an unchecked loop grows the
@@ -152,17 +156,27 @@ def connected_components(edges, *, src: str = "a", dst: str = "b",
     # can hand us hundreds of near-empty blocks — either way the
     # per-round cost becomes per-block fixed overhead, not data. Size
     # to the data (~64k rows/block), not to the input's block count.
-    n_rows = adj_tagged.count() + labels.count()
+    n_rows = adj.count() + n_vert
     n_blocks = int(max(1, min(256, n_rows // 65536 + 1)))
-    adj_tagged = _rebase(adj_tagged.repartition(n_blocks))
-    labels = _rebase(labels.repartition(n_blocks))
 
-    def tag_lbl(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table({"v": batch.column("v"),
-                         "lbl": batch.column("lbl"),
-                         "nbr": pa.array(np.zeros(n, np.int64)),
-                         "t": pa.array(np.zeros(n, np.int8))})
+    # round-0 input assembled as ONE plan (execution 2): distinct-
+    # vertex label rows unioned with tagged adjacency rows; later
+    # rounds recover the adjacency side by filtering t == 1 from the
+    # materialized blocks (a lazy map, not a new shuffle)
+    labels0 = (sorted_sum(lbl_src.map_batches(
+                   init_from_adj, batch_format="pyarrow"), ["v"], ["n"])
+               .drop_columns(["n"])
+               .map_batches(lambda b: b.append_column(
+                   "lbl", b.column("v")), batch_format="pyarrow"))
+    both0 = _rebase(adj.map_batches(tag_adj, batch_format="pyarrow")
+                    .union(labels0.map_batches(tag_lbl,
+                                               batch_format="pyarrow"))
+                    .repartition(n_blocks))
+
+    def only_adj(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("t"), 1))
+
+    adj_tagged = both0.map_batches(only_adj, batch_format="pyarrow")
 
     def compress(labels):
         """One pointer jump: lbl(v) <- lbl(lbl(v)). Rows keyed by the
@@ -187,16 +201,21 @@ def connected_components(edges, *, src: str = "a", dst: str = "b",
         return sorted_map_groups(msgs, ["v"], _gather_block,
                                  pre_reduce=_gather_reduce)
 
+    labels = None
     for it in range(max_iters):
         if verbose:
             import time
             t0 = time.time()
-        both = adj_tagged.union(labels.map_batches(
-            tag_lbl, batch_format="pyarrow"))
+        both = both0 if it == 0 else adj_tagged.union(
+            labels.map_batches(tag_lbl, batch_format="pyarrow"))
         msgs = sorted_map_groups(both, ["v"], _scatter_block,
                                  sort_keys=["v", "t"])
-        prop = _rebase(sorted_map_groups(msgs, ["v"], _gather_block,
-                                       pre_reduce=_gather_reduce))
+        prop = sorted_map_groups(msgs, ["v"], _gather_block,
+                                 pre_reduce=_gather_reduce)
+        # one execution per round: the block-count bound rides along
+        # with the propagation plan; the convergence sum then runs on
+        # the materialized blocks (map + tiny reduce, no shuffle)
+        prop = _rebase(prop.repartition(n_blocks))
         n_changed = prop.sum("changed") or 0
         labels = prop.drop_columns(["changed"])
         if not n_changed:
@@ -211,8 +230,8 @@ def connected_components(edges, *, src: str = "a", dst: str = "b",
             # one round, making round-0 compression two wasted
             # shuffles; deeper graphs still get O(log d) compression
             # from round 1 on
-            labels = compress(labels).drop_columns(["changed"])
-        labels = _rebase(labels.repartition(n_blocks))
+            labels = _rebase(compress(labels).drop_columns(["changed"])
+                             .repartition(n_blocks))
         if verbose:
             print(f"[cc] round {it}: changed={n_changed} "
                   f"({time.time() - t0:.1f}s)", flush=True)

@@ -153,9 +153,11 @@ def asof_join(left, right, *, key: str, on: str,
         order = matched_pad.column_names
         return pa.concat_tables([matched_pad, leftover_pad.select(order)])
 
-    sorted_blocks = both.sort([key, on, "side"]).materialize()
-    s1 = (sorted_blocks.map_batches(stage1, batch_size=None,
-                                    batch_format="pyarrow")
+    # one execution: stage1 maps per-block over the sort's output plan
+    # (batch_size=None = whole sorted block); materialized because both
+    # the matched and leftover branches read it
+    s1 = (both.sort([key, on, "side"])
+          .map_batches(stage1, batch_size=None, batch_format="pyarrow")
           .materialize())
 
     def keep_matched(batch: pa.Table) -> pa.Table:

@@ -140,13 +140,115 @@ SELECT '{c}' AS col, COUNT(*) AS n_rows,
 FROM documents""" for c in PROFILE_COLS)
 
 
+# ---------------------------------------------------------------------------
+# 2. Repetition quality signals (Gopher-style, Rae et al. 2021 §A1.1):
+# per-document word/bigram duplication and top-fraction metrics — the
+# standard repetitive-boilerplate filter of a web-corpus pipeline.
+# Embarrassingly parallel (per-doc map, no shuffle); every count comes
+# out of Arrow's C++ hash aggregation — no per-row Python, no regex.
+# Fractions are single IEEE divisions on exact integer counts, so the
+# DuckDB oracle matches bitwise.
+# ---------------------------------------------------------------------------
+
+
+def q_repetition_signals(sf_dir: str):
+    """(doc_id, n_words, n_distinct_words, top_word_n, n_bigrams,
+    n_distinct_bigrams, top_bigram_n, dup_word_frac, top_word_frac)
+    per document; words split on single spaces."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def block(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        words = pc.split_pattern(batch.column("text"), " ")
+        wf = (words.combine_chunks()
+              if isinstance(words, pa.ChunkedArray) else words)
+        offs = np.frombuffer(wf.buffers()[1], dtype=np.int32)[
+            wf.offset:wf.offset + len(wf) + 1]
+        flat = wf.flatten()
+        n_per = np.diff(offs)
+        docidx = np.repeat(np.arange(len(wf)), n_per)
+        wc = pa.table({"d": pa.array(docidx), "w": flat}) \
+            .group_by(["d", "w"]).aggregate([("w", "count")])
+        st = wc.group_by(["d"]).aggregate(
+            [("w_count", "sum"), ("w_count", "count"),
+             ("w_count", "max")]).sort_by("d")
+        # bigrams: adjacent word pairs, masked at document boundaries
+        bg = pc.binary_join_element_wise(
+            flat.slice(0, max(len(flat) - 1, 0)), flat.slice(1), " ")
+        same = docidx[:-1] == docidx[1:]
+        bc = pa.table({"d": pa.array(docidx[:-1][same]),
+                       "b": pc.array_filter(bg, pa.array(same))}) \
+            .group_by(["d", "b"]).aggregate([("b", "count")])
+        bst = bc.group_by(["d"]).aggregate(
+            [("b_count", "sum"), ("b_count", "count"),
+             ("b_count", "max")]).sort_by("d")
+        d = st.column("d").to_numpy()
+        nw = st.column("w_count_sum").to_numpy().astype(np.int64)
+        ndw = st.column("w_count_count").to_numpy().astype(np.int64)
+        tw = st.column("w_count_max").to_numpy().astype(np.int64)
+        bd = bst.column("d").to_numpy()
+        nbg = np.zeros(len(d), np.int64)
+        ndb = np.zeros(len(d), np.int64)
+        tb = np.zeros(len(d), np.int64)
+        pos = np.searchsorted(bd, d)
+        has = (pos < len(bd))
+        has[has] = bd[pos[has]] == d[has]
+        nbg[has] = bst.column("b_count_sum").to_numpy()[pos[has]]
+        ndb[has] = bst.column("b_count_count").to_numpy()[pos[has]]
+        tb[has] = bst.column("b_count_max").to_numpy()[pos[has]]
+        return pa.table({
+            "doc_id": pa.array(ids.to_numpy()[d]),
+            "n_words": pa.array(nw),
+            "n_distinct_words": pa.array(ndw),
+            "top_word_n": pa.array(tw),
+            "n_bigrams": pa.array(nbg),
+            "n_distinct_bigrams": pa.array(ndb),
+            "top_bigram_n": pa.array(tb),
+            "dup_word_frac": pa.array(1.0 - ndw.astype(np.float64) / nw),
+            "top_word_frac": pa.array(tw.astype(np.float64) / nw),
+        })
+
+    return ds.map_batches(block, batch_format="pyarrow")
+
+
+REPETITION_SIGNALS_SQL = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+              count(*) AS n_distinct_words,
+              CAST(max(c) AS BIGINT) AS top_word_n
+       FROM wc GROUP BY doc_id),
+s AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+b AS (SELECT doc_id, s[i] || ' ' || s[i+1] AS bg
+      FROM s, UNNEST(range(1, len(s))) AS t(i)),
+bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg),
+bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+              count(*) AS n_distinct_bigrams,
+              CAST(max(c) AS BIGINT) AS top_bigram_n
+       FROM bc GROUP BY doc_id)
+SELECT ws.doc_id, n_words, n_distinct_words, top_word_n,
+       coalesce(n_bigrams, 0) AS n_bigrams,
+       coalesce(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+       coalesce(top_bigram_n, 0) AS top_bigram_n,
+       1.0 - CAST(n_distinct_words AS DOUBLE) / n_words AS dup_word_frac,
+       CAST(top_word_n AS DOUBLE) / n_words AS top_word_frac
+FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+"""
+
+
 def new_queries3() -> dict:
     return {
         "profile_table": q_profile_table,
+        "repetition_signals": q_repetition_signals,
     }
 
 
 def new_oracle_sqls3() -> dict:
     return {
         "profile_table": PROFILE_TABLE_SQL,
+        "repetition_signals": REPETITION_SIGNALS_SQL,
     }

@@ -82,3 +82,32 @@ class TestProfileTable:
 
         assert distinct_count(1) == 97
         assert distinct_count(23) == 97
+
+
+class TestRepetitionSignals:
+    def test_edge_docs(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from karta_ray.pipelines.queries3 import q_repetition_signals
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a a a a", "x", "a b a b a"]),
+        })
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = q_repetition_signals(str(tmp_path)).to_pandas() \
+            .set_index("doc_id").sort_index()
+        # doc 1: 4 words, 1 distinct, bigrams "a a" x3
+        assert out.loc[1, "n_words"] == 4
+        assert out.loc[1, "n_distinct_words"] == 1
+        assert out.loc[1, "n_bigrams"] == 3
+        assert out.loc[1, "n_distinct_bigrams"] == 1
+        assert out.loc[1, "dup_word_frac"] == 0.75
+        # doc 2: single word, no bigrams
+        assert out.loc[2, "n_words"] == 1
+        assert out.loc[2, "n_bigrams"] == 0
+        # doc 3: "a b a b a": 5 words 2 distinct; bigrams: "a b"x2 "b a"x2
+        assert out.loc[3, "top_word_n"] == 3
+        assert out.loc[3, "n_bigrams"] == 4
+        assert out.loc[3, "n_distinct_bigrams"] == 2
+        assert out.loc[3, "top_bigram_n"] == 2

@@ -240,10 +240,55 @@ FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# 3. Global ranking (row_number / percent_rank / ntile): events ranked
+# by (value, event_id) — the distributed window-function primitive
+# (stages/rank.py). percent_rank is the single IEEE division
+# (rnk-1)/(n-1), ntile the exact SQL integer bucketing, so the DuckDB
+# window oracle matches bitwise.
+# ---------------------------------------------------------------------------
+
+RANK_NTILES = 97
+
+
+def q_global_rank(sf_dir: str):
+    """(event_id, value, rnk, pct, tile) over all events."""
+    import ray.data
+
+    from ..stages.rank import global_rank, ntile_of_rank
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "value"])
+    ranked, total = global_rank(ds, ["value", "event_id"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rnk = batch.column("rnk").to_numpy()
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "value": batch.column("value"),
+            "rnk": batch.column("rnk"),
+            "pct": pa.array((rnk - 1).astype(np.float64) / (total - 1)),
+            "tile": pa.array(ntile_of_rank(rnk, total, RANK_NTILES)),
+        })
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+GLOBAL_RANK_SQL = f"""
+SELECT event_id, value,
+       row_number() OVER w AS rnk,
+       percent_rank() OVER w AS pct,
+       ntile({RANK_NTILES}) OVER w AS tile
+FROM events
+WINDOW w AS (ORDER BY value, event_id)
+"""
+
+
 def new_queries3() -> dict:
     return {
         "profile_table": q_profile_table,
         "repetition_signals": q_repetition_signals,
+        "global_rank": q_global_rank,
     }
 
 
@@ -251,4 +296,5 @@ def new_oracle_sqls3() -> dict:
     return {
         "profile_table": PROFILE_TABLE_SQL,
         "repetition_signals": REPETITION_SIGNALS_SQL,
+        "global_rank": GLOBAL_RANK_SQL,
     }

@@ -284,11 +284,66 @@ WINDOW w AS (ORDER BY value, event_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# 4. Event-sequence transitions: counts of adjacent (prev -> next)
+# event types per user timeline — the Markov / session-flow mining op.
+# One range shuffle (sorted by user, ts, event_id for a total order);
+# adjacent pairs extracted vectorized across each whole block with a
+# user-boundary mask; pair counts pre-reduced per block then
+# tree-combined (output cardinality = |event_type|^2).
+# ---------------------------------------------------------------------------
+
+
+def q_event_transitions(sf_dir: str):
+    """(prev_type, next_type, n) over per-user time-ordered events."""
+    import ray.data
+
+    from ..stages.agg import group_runs, sorted_map_groups, tree_sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "event_type"])
+
+    empty = pa.table({"prev_type": pa.array([], pa.string()),
+                      "next_type": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def pairs_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows < 2:
+            return empty
+        uid = batch.column("user_id").to_numpy()
+        et = batch.column("event_type")
+        same = pa.array(uid[1:] == uid[:-1])
+        prev = et.slice(0, batch.num_rows - 1).filter(same)
+        nxt = et.slice(1).filter(same)
+        return pa.table({"prev_type": prev, "next_type": nxt}) \
+            .group_by(["prev_type", "next_type"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["prev_type", "next_type", "n"])
+
+    counts = sorted_map_groups(ds, ["user_id"], pairs_block,
+                               sort_keys=["user_id", "ts", "event_id"])
+    return tree_sum(counts, ["prev_type", "next_type"], ["n"])
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT event_type AS prev_type, nxt AS next_type, count(*) AS n
+FROM seq WHERE nxt IS NOT NULL
+GROUP BY event_type, nxt
+"""
+
+
 def new_queries3() -> dict:
     return {
         "profile_table": q_profile_table,
         "repetition_signals": q_repetition_signals,
         "global_rank": q_global_rank,
+        "event_transitions": q_event_transitions,
     }
 
 
@@ -297,4 +352,5 @@ def new_oracle_sqls3() -> dict:
         "profile_table": PROFILE_TABLE_SQL,
         "repetition_signals": REPETITION_SIGNALS_SQL,
         "global_rank": GLOBAL_RANK_SQL,
+        "event_transitions": EVENT_TRANSITIONS_SQL,
     }

@@ -338,12 +338,92 @@ GROUP BY event_type, nxt
 """
 
 
+# ---------------------------------------------------------------------------
+# 5. Grouped linear regression: per-event-type OLS slope/intercept from
+# tree-combined sufficient statistics (n, sx, sy, sxy, sxx) — the
+# one-pass distributed regression pattern (no residual second pass).
+# Parity: x/y are exact small integers derived from ts/user_id, the
+# sums are exact int64, and slope/intercept are the identical short
+# IEEE sequence on both engines (every intermediate < 2^53).
+# ---------------------------------------------------------------------------
+
+
+def q_grouped_regression(sf_dir: str):
+    """(event_type, n, slope, intercept) of y = user_id % 997 against
+    x = second-of-hour(ts)."""
+    import ray.data
+
+    from ..stages.agg import tree_sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        x = (us // 1_000_000) % 3600
+        y = batch.column("user_id").to_numpy() % 997
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "n": pa.array(np.ones(len(x), np.int64)),
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxy": pa.array(x * y), "sxx": pa.array(x * x),
+        })
+        return t.group_by(["event_type"]).aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx")]) \
+            .rename_columns(["event_type", "n", "sx", "sy", "sxy", "sxx"])
+
+    rows = tree_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["event_type"], ["n", "sx", "sy", "sxy", "sxx"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy().astype(np.float64)
+        sx = batch.column("sx").to_numpy().astype(np.float64)
+        sy = batch.column("sy").to_numpy().astype(np.float64)
+        sxy = batch.column("sxy").to_numpy().astype(np.float64)
+        sxx = batch.column("sxx").to_numpy().astype(np.float64)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n": batch.column("n"),
+            "slope": pa.array(slope),
+            "intercept": pa.array(intercept),
+        })
+
+    return rows.map_batches(finish, batch_format="pyarrow")
+
+
+GROUPED_REGRESSION_SQL = """
+WITH xy AS (
+  SELECT event_type,
+         (epoch_us(ts) // 1000000) % 3600 AS x,
+         user_id % 997 AS y
+  FROM events),
+s AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x*y) AS BIGINT) AS sxy,
+         CAST(sum(x*x) AS BIGINT) AS sxx
+  FROM xy GROUP BY event_type)
+SELECT event_type, n,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope,
+       (CAST(sy AS DOUBLE)
+          - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+            * sx) / n AS intercept
+FROM s
+"""
+
+
 def new_queries3() -> dict:
     return {
         "profile_table": q_profile_table,
         "repetition_signals": q_repetition_signals,
         "global_rank": q_global_rank,
         "event_transitions": q_event_transitions,
+        "grouped_regression": q_grouped_regression,
     }
 
 
@@ -353,4 +433,5 @@ def new_oracle_sqls3() -> dict:
         "repetition_signals": REPETITION_SIGNALS_SQL,
         "global_rank": GLOBAL_RANK_SQL,
         "event_transitions": EVENT_TRANSITIONS_SQL,
+        "grouped_regression": GROUPED_REGRESSION_SQL,
     }

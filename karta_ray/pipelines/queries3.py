@@ -417,6 +417,92 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# 6. Inverted index build: bigram term -> (df, comma-joined sorted
+# posting list), capped at POSTINGS_CAP docs per term (stopword-like
+# terms are dropped, exactly — the sorted-shuffle tombstone-truncation
+# path guarantees a term split across blocks can't sneak in under the
+# cap). Per-block tokenize + (doc, term) dedup is global dedup because
+# a document is one row; postings strings are built by Arrow's
+# list-join kernel over key-run offsets — no per-row Python.
+# ---------------------------------------------------------------------------
+
+POSTINGS_CAP = 220
+
+
+def q_inverted_index(sf_dir: str):
+    """(term, df, postings) for bigram terms with df <= POSTINGS_CAP."""
+    import ray.data
+
+    from ..stages.agg import group_runs, sorted_map_groups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def term_doc(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch.column("text"), " ")
+        wf = (words.combine_chunks()
+              if isinstance(words, pa.ChunkedArray) else words)
+        offs = np.frombuffer(wf.buffers()[1], dtype=np.int32)[
+            wf.offset:wf.offset + len(wf) + 1]
+        flat = wf.flatten()
+        docidx = np.repeat(np.arange(len(wf)), np.diff(offs))
+        bg = pc.binary_join_element_wise(
+            flat.slice(0, max(len(flat) - 1, 0)), flat.slice(1), " ")
+        same = docidx[:-1] == docidx[1:]
+        pairs = pa.table({"d": pa.array(docidx[:-1][same]),
+                          "term": pc.array_filter(bg, pa.array(same))}) \
+            .group_by(["d", "term"]).aggregate([])
+        doc_ids = batch.column("doc_id").to_numpy()[
+            pairs.column("d").to_numpy()]
+        return pa.table({"term": pairs.column("term"),
+                         "doc_id": pa.array(doc_ids)})
+
+    empty = pa.table({"term": pa.array([], pa.string()),
+                      "df": pa.array([], pa.int64()),
+                      "postings": pa.array([], pa.string())})
+
+    def postings_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        starts, ends = group_runs(batch, ["term"])
+        sizes = ends - starts
+        keep = sizes <= POSTINGS_CAP
+        if not keep.any():
+            return empty
+        ks, ke = starts[keep], ends[keep]
+        # gather kept runs back-to-back, then one vectorized list-join
+        idx = np.concatenate([np.arange(s, e) for s, e in zip(ks, ke)])
+        docs_s = pc.cast(batch.column("doc_id").take(pa.array(idx)),
+                         pa.string())
+        offsets = np.concatenate([[0], np.cumsum(ke - ks)]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets),
+                                         docs_s.combine_chunks())
+        return pa.table({
+            "term": batch.column("term").take(pa.array(ks)),
+            "df": pa.array((ke - ks).astype(np.int64)),
+            "postings": pc.binary_join(lists, ","),
+        })
+
+    return sorted_map_groups(ds.map_batches(term_doc,
+                                            batch_format="pyarrow"),
+                             ["term"], postings_block,
+                             sort_keys=["term", "doc_id"],
+                             max_group_rows=POSTINGS_CAP)
+
+
+INVERTED_INDEX_SQL = f"""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+b AS (SELECT DISTINCT doc_id, s[i] || ' ' || s[i+1] AS term
+      FROM s, UNNEST(range(1, len(s))) AS t(i)),
+g AS (SELECT term, count(*) AS df,
+             string_agg(CAST(doc_id AS VARCHAR), ','
+                        ORDER BY doc_id) AS postings
+      FROM b GROUP BY term)
+SELECT term, df, postings FROM g WHERE df <= {POSTINGS_CAP}
+"""
+
+
 def new_queries3() -> dict:
     return {
         "profile_table": q_profile_table,
@@ -424,6 +510,7 @@ def new_queries3() -> dict:
         "global_rank": q_global_rank,
         "event_transitions": q_event_transitions,
         "grouped_regression": q_grouped_regression,
+        "inverted_index": q_inverted_index,
     }
 
 
@@ -434,4 +521,5 @@ def new_oracle_sqls3() -> dict:
         "global_rank": GLOBAL_RANK_SQL,
         "event_transitions": EVENT_TRANSITIONS_SQL,
         "grouped_regression": GROUPED_REGRESSION_SQL,
+        "inverted_index": INVERTED_INDEX_SQL,
     }

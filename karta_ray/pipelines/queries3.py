@@ -503,6 +503,86 @@ SELECT term, df, postings FROM g WHERE df <= {POSTINGS_CAP}
 """
 
 
+# ---------------------------------------------------------------------------
+# 7. Latest-snapshot compaction (CDC / crawl dedup: "newest record per
+# key"): per user, the latest event by (ts, event_id) with its payload.
+# One associative aggregate, no row shuffle: (ts, event_id, value) is
+# packed into a 24-byte big-endian blob whose lexicographic max IS the
+# (ts, event_id) max — the unique id tiebreak means the payload suffix
+# never decides — so the whole op is tree-combined fixed_size_binary
+# MAX partials (Arrow C++ group_by), then one vectorized unpack.
+# ---------------------------------------------------------------------------
+
+
+def _pack_ts_id_val(ts_us, eid, val) -> pa.Array:
+    n = len(ts_us)
+    packed = np.empty((n, 24), dtype=np.uint8)
+    packed[:, 0:8] = ts_us.astype(np.uint64).byteswap() \
+        .view(np.uint8).reshape(n, 8)
+    packed[:, 8:16] = eid.astype(np.uint64).byteswap() \
+        .view(np.uint8).reshape(n, 8)
+    packed[:, 16:24] = val.astype(np.float64).view(np.uint64) \
+        .byteswap().view(np.uint8).reshape(n, 8)
+    return pa.Array.from_buffers(pa.binary(24), n,
+                                 [None, pa.py_buffer(packed.tobytes())])
+
+
+def q_latest_snapshot(sf_dir: str):
+    """(user_id, last_ts_us, last_event_id, last_value) per user."""
+    import ray.data
+
+    from ..stages.agg import tree_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        packed = _pack_ts_id_val(ts,
+                                 batch.column("event_id").to_numpy(),
+                                 batch.column("value").to_numpy())
+        t = pa.table({"user_id": batch.column("user_id"), "p": packed})
+        return t.group_by(["user_id"]).aggregate([("p", "max")]) \
+            .rename_columns(["user_id", "p"])
+
+    rows = tree_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["user_id"], [("p", "max")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        p = batch.column("p").combine_chunks()
+        n = len(p)
+        raw = np.frombuffer(p.buffers()[1], dtype=np.uint8)[
+            p.offset * 24:(p.offset + n) * 24].reshape(n, 24)
+        ts = raw[:, 0:8].copy().view(np.uint64).byteswap() \
+            .astype(np.int64).ravel()
+        eid = raw[:, 8:16].copy().view(np.uint64).byteswap() \
+            .astype(np.int64).ravel()
+        val = raw[:, 16:24].copy().view(np.uint64).byteswap() \
+            .view(np.float64).ravel()
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "last_ts_us": pa.array(ts),
+            "last_event_id": pa.array(eid),
+            "last_value": pa.array(val),
+        })
+
+    return rows.map_batches(finish, batch_format="pyarrow")
+
+
+LATEST_SNAPSHOT_SQL = """
+WITH r AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+       value AS last_value
+FROM r WHERE rn = 1
+"""
+
+
 def new_queries3() -> dict:
     return {
         "profile_table": q_profile_table,
@@ -511,6 +591,7 @@ def new_queries3() -> dict:
         "event_transitions": q_event_transitions,
         "grouped_regression": q_grouped_regression,
         "inverted_index": q_inverted_index,
+        "latest_snapshot": q_latest_snapshot,
     }
 
 
@@ -522,4 +603,5 @@ def new_oracle_sqls3() -> dict:
         "event_transitions": EVENT_TRANSITIONS_SQL,
         "grouped_regression": GROUPED_REGRESSION_SQL,
         "inverted_index": INVERTED_INDEX_SQL,
+        "latest_snapshot": LATEST_SNAPSHOT_SQL,
     }

@@ -32,12 +32,24 @@ def _make_combine(keys: list, col_aggs: list):
 def tree_agg(ds, keys: list, col_aggs: list, *, fanout: int = 32):
     """Combine a Dataset of partial rows into one row per key group with
     associative per-column aggregations (``sum``/``max``/``min``):
-    per-block combine -> coalesce to ``fanout`` blocks -> combine ->
-    single block -> final combine."""
+    per-block combine -> (coalesce to ``fanout`` blocks -> combine, only
+    when the combined partials span more than ``4 x fanout`` blocks) ->
+    single block -> final combine.
+
+    The per-block combine is materialized so the intermediate tree
+    level is a data-driven choice: a bench-scale run (dozens of blocks)
+    skips a whole all-to-all barrier (~0.5 s fixed cost, measured),
+    while a 10^6-block corpus still gets the fanout level that keeps
+    the final block at ``fanout x groups`` rows instead of ``blocks x
+    groups``. The materialize writes only combined partials (<= groups
+    rows per block) — data the repartition would persist anyway."""
     combine = _make_combine(keys, col_aggs)
-    ds = ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
-    ds = ds.repartition(fanout)
-    ds = ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(combine, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+    if ds.num_blocks() > 4 * fanout:
+        ds = ds.repartition(fanout)
+        ds = ds.map_batches(combine, batch_format="pyarrow",
+                            zero_copy_batch=True)
     ds = ds.repartition(1)
     return ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
 

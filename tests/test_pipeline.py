@@ -156,6 +156,27 @@ class TestTreeAggProperty:
                 .sort_values(["k1", "k2"]).reset_index(drop=True))
         assert got.equals(want)
 
+    def test_adaptive_tree_level(self):
+        # >4*fanout input blocks must take the intermediate-combine
+        # branch and still produce exact results
+        import ray.data
+
+        from karta_ray.stages.agg import tree_agg
+
+        rng = np.random.RandomState(3)
+        n = 20_000
+        df = pa.table({
+            "k": pa.array(rng.randint(0, 11, n).astype(np.int64)),
+            "s": pa.array(rng.randint(-5, 5, n).astype(np.int64)),
+        })
+        ds = ray.data.from_arrow(df).repartition(40)
+        got = tree_agg(ds, ["k"], [("s", "sum")], fanout=8) \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        want = (df.to_pandas().groupby("k", as_index=False)
+                .agg(s=("s", "sum"))
+                .sort_values("k").reset_index(drop=True))
+        assert got.equals(want)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestZoomInvariance:

@@ -87,11 +87,17 @@ def build_bloom(right, *, key: str, m_bits: int, n_hashes: int,
             acc |= np.frombuffer(buf.as_py(), dtype=np.uint8)
         return pa.table({"bm": pa.array([acc.tobytes()], pa.binary())})
 
+    # data-driven OR-tree (same pattern as agg.tree_agg): partials are
+    # one m/8-byte bitmap per block, so with few blocks a single
+    # reduce task ORs them all and the intermediate all-to-all barrier
+    # is pure overhead; above 4 x fanout blocks the fanout level keeps
+    # the final task at fanout bitmaps instead of blocks bitmaps
     parts = right.map_batches(partial, batch_format="pyarrow",
-                              zero_copy_batch=True)
-    merged = (parts.repartition(fanout)
-              .map_batches(combine, batch_format="pyarrow")
-              .repartition(1)
+                              zero_copy_batch=True).materialize()
+    if parts.num_blocks() > 4 * fanout:
+        parts = (parts.repartition(fanout)
+                 .map_batches(combine, batch_format="pyarrow"))
+    merged = (parts.repartition(1)
               .map_batches(combine, batch_format="pyarrow"))
     final = np.frombuffer(merged.take(1)[0]["bm"], dtype=np.uint8).copy()
     n_set = int(np.unpackbits(final).sum())

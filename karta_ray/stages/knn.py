@@ -365,13 +365,21 @@ def knn_join_coshuffle(left_ds, right_ds, k: int, *, zoom: int,
         return batch.filter(pa.array(mask)).select(["left_id"])
 
     resolved = probed.map_batches(keep_resolved, batch_format="pyarrow")
+    # cheap early exit on the COMMON case (every query resolved in its
+    # home ring): one map+reduce over the materialized probe blocks,
+    # instead of paying a distinct-ids hash shuffle to learn "empty"
+    n_unres = probed.map_batches(
+        lambda b: pa.table({"nu": pa.array(
+            [int((~b.column("resolved").to_numpy(
+                zero_copy_only=False)).sum())], pa.int64())}),
+        batch_format="pyarrow").sum("nu") or 0
+    if n_unres == 0:
+        return resolved
     unresolved = probed.map_batches(keep_unresolved_ids,
                                     batch_format="pyarrow")
     # distinct unresolved left ids (a left row appears once per rank)
     ids_ds = (unresolved.groupby("left_id").count()
               .select_columns(["left_id"]).materialize())
-    if ids_ds.count() == 0:
-        return resolved
 
     # residue rounds: the unresolved rows are few by construction, so
     # invert the replication — the residue LEFT side fans out to an
@@ -580,6 +588,14 @@ def _knn_residue_rounds(residue_left, right_ds, k: int, *, zoom: int,
         if full_cover:
             break
 
+        n_unres = merged.map_batches(
+            lambda b: pa.table({"nu": pa.array(
+                [int((~b.column("resolved").to_numpy(
+                    zero_copy_only=False)).sum())], pa.int64())}),
+            batch_format="pyarrow").sum("nu") or 0
+        if n_unres == 0:
+            break
+
         def keep_unres(batch: pa.Table) -> pa.Table:
             mask = ~batch.column("resolved").to_numpy(zero_copy_only=False)
             return batch.filter(pa.array(mask)).select(["left_id"])
@@ -587,8 +603,6 @@ def _knn_residue_rounds(residue_left, right_ds, k: int, *, zoom: int,
         ids_ds = (merged.map_batches(keep_unres, batch_format="pyarrow")
                   .groupby("left_id").count()
                   .select_columns(["left_id"]).materialize())
-        if ids_ds.count() == 0:
-            break
         cur = cur.join(ids_ds, "inner", num_partitions=1,
                        on=("left_id",)).materialize()
         # quadruple the ring each round: every round costs a fixed

@@ -1419,18 +1419,18 @@ def q_asof_join(sf_dir: str):
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "ts", "user_id",
                                         "event_type", "value"])
-    left = ev.map_batches(
-        lambda b: b.filter(pc.not_equal(b.column("event_type"),
-                                        "purchase"))
-                   .select(["event_id", "ts", "user_id"]),
-        batch_format="pyarrow", zero_copy_batch=True)
-    right = ev.map_batches(
-        lambda b: b.filter(pc.equal(b.column("event_type"), "purchase"))
-                   .select(["event_id", "ts", "user_id", "value"]),
-        batch_format="pyarrow", zero_copy_batch=True)
-    joined = asof_join(left, right, key="user_id", on="ts",
+
+    def split(batch: pa.Table):
+        # one scan, one pass: purchases are the right stream, the rest
+        # the left — row-disjoint subsets of the same source
+        is_purchase = pc.equal(batch.column("event_type"),
+                               "purchase").to_numpy(zero_copy_only=False)
+        return ~is_purchase, is_purchase
+
+    joined = asof_join(ev, None, key="user_id", on="ts",
                        left_cols=["event_id"],
-                       right_cols=["event_id", "value"])
+                       right_cols=["event_id", "value"],
+                       split_fn=split)
 
     def finish(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").to_numpy()

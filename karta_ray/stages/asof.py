@@ -71,7 +71,8 @@ def _last_right_per_key(u: np.ndarray, side: np.ndarray) -> np.ndarray:
 
 
 def asof_join(left, right, *, key: str, on: str,
-              left_cols: list, right_cols: list):
+              left_cols: list, right_cols: list,
+              split_fn=None):
     """Inner as-of join: for every ``left`` row, the newest ``right``
     row with the same ``key`` and ``right.on <= left.on``.
 
@@ -79,15 +80,24 @@ def asof_join(left, right, *, key: str, on: str,
     c in right_cols]`` (``on``/``r_on`` as int64 microseconds when the
     input is a timestamp). Left rows with no matching right row are
     dropped.
+
+    ``split_fn``: when both sides are row-disjoint subsets of ONE
+    source (the common self-asof, e.g. events vs their own purchase
+    sub-stream), pass ``split_fn(batch) -> (left_mask, right_mask)``
+    and ``left`` is treated as that single source — each batch is
+    tagged into both sides in one pass, halving the scan and the
+    pre-sort block count (``right`` is then ignored and may be None).
     """
     r_on = f"r_{on}"
     r_cols = [f"r_{c}" for c in right_cols]
     out_names = list(left_cols) + [key, on, r_on] + r_cols
 
     # null-fill types for the side each payload column is absent from
-    left_types = {c: left.schema().base_schema.field(c).type
-                  for c in left_cols}
-    right_types = {f"r_{c}": right.schema().base_schema.field(c).type
+    src_schema = left.schema().base_schema
+    left_types = {c: src_schema.field(c).type for c in left_cols}
+    right_schema = (src_schema if split_fn is not None
+                    else right.schema().base_schema)
+    right_types = {f"r_{c}": right_schema.field(c).type
                    for c in right_cols}
 
     def tag_left(batch: pa.Table) -> pa.Table:
@@ -110,10 +120,21 @@ def asof_join(left, right, *, key: str, on: str,
             cols[c] = batch.column(src)
         return pa.table(cols)
 
-    both = (left.map_batches(tag_left, batch_format="pyarrow",
-                             zero_copy_batch=True)
-            .union(right.map_batches(tag_right, batch_format="pyarrow",
-                                     zero_copy_batch=True)))
+    if split_fn is not None:
+        def tag_both(batch: pa.Table) -> pa.Table:
+            lmask, rmask = split_fn(batch)
+            return pa.concat_tables([
+                tag_left(batch.filter(pa.array(lmask))),
+                tag_right(batch.filter(pa.array(rmask)))])
+
+        both = left.map_batches(tag_both, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    else:
+        both = (left.map_batches(tag_left, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+                .union(right.map_batches(tag_right,
+                                         batch_format="pyarrow",
+                                         zero_copy_batch=True)))
 
     def emit_matched(batch: pa.Table, li: np.ndarray,
                      m: np.ndarray) -> pa.Table:

@@ -80,3 +80,41 @@ class TestAsofJoin:
         got = _run(lu, lts, ru, rts, 2, 1)
         assert got["event_id"].tolist() == [1]
         assert got["r_ts"].tolist() == [100]
+
+    def test_split_fn_matches_two_dataset_path(self, ray_session):
+        # single-source self-asof (split_fn) must equal the two-dataset
+        # plan on the same rows
+        import ray
+
+        from karta_ray.stages.asof import asof_join
+
+        rng = np.random.RandomState(5)
+        n = 4000
+        src = pa.table({
+            "user_id": rng.randint(0, 25, n).astype(np.int64),
+            "ts": rng.randint(0, 10**6, n).astype(np.int64),
+            "event_id": np.arange(n, dtype=np.int64),
+            "kind": rng.randint(0, 4, n).astype(np.int64),
+            "value": (np.arange(n) * 0.5).astype(np.float64),
+        })
+
+        def split(batch):
+            k = batch.column("kind").to_numpy()
+            return k != 0, k == 0
+
+        got = asof_join(
+            ray.data.from_arrow(src).repartition(11), None,
+            key="user_id", on="ts", left_cols=["event_id"],
+            right_cols=["event_id", "value"], split_fn=split) \
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+
+        kind = src.column("kind").to_numpy()
+        left = src.filter(pa.array(kind != 0))
+        right = src.filter(pa.array(kind == 0))
+        want = asof_join(
+            ray.data.from_arrow(left).repartition(5),
+            ray.data.from_arrow(right).repartition(3),
+            key="user_id", on="ts", left_cols=["event_id"],
+            right_cols=["event_id", "value"]) \
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        assert got.equals(want)

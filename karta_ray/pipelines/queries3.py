@@ -583,6 +583,105 @@ FROM r WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# 8. N-gram language-model counts: corpus-wide word-trigram counts at a
+# minimum support — the n-gram LM / memorization-analysis table. Same
+# flattened-words machinery as the repetition signals; per-block counts
+# come out of Arrow's C++ hash aggregation and only (trigram, partial
+# count) rows — already collapsed to unique trigrams per block — enter
+# the sorted range shuffle. The min-support filter runs AFTER the
+# global sum (exact).
+# ---------------------------------------------------------------------------
+
+TRIGRAM_MIN_SUPPORT = 5
+
+
+def q_ngram_counts(sf_dir: str):
+    """(trigram, n) for word trigrams with n >= TRIGRAM_MIN_SUPPORT."""
+    import ray.data
+
+    from ..stages.agg import sorted_sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch.column("text"), " ")
+        wf = (words.combine_chunks()
+              if isinstance(words, pa.ChunkedArray) else words)
+        offs = np.frombuffer(wf.buffers()[1], dtype=np.int32)[
+            wf.offset:wf.offset + len(wf) + 1]
+        flat = wf.flatten()
+        docidx = np.repeat(np.arange(len(wf)), np.diff(offs))
+        m = max(len(flat) - 2, 0)
+        tri = pc.binary_join_element_wise(
+            flat.slice(0, m), flat.slice(1, m), flat.slice(2, m),
+            " ")
+        same = docidx[:-2] == docidx[2:]
+        return pa.table({"trigram": pc.array_filter(tri, pa.array(same))}) \
+            .group_by(["trigram"]).aggregate([([], "count_all")]) \
+            .rename_columns(["trigram", "n"])
+
+    totals = sorted_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["trigram"], ["n"])
+    return totals.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n"),
+                                            TRIGRAM_MIN_SUPPORT)),
+        batch_format="pyarrow")
+
+
+NGRAM_COUNTS_SQL = f"""
+WITH s AS (SELECT string_split(text, ' ') AS s FROM documents),
+t AS (SELECT s[i] || ' ' || s[i+1] || ' ' || s[i+2] AS trigram
+      FROM s, UNNEST(range(1, len(s) - 1)) AS u(i))
+SELECT trigram, count(*) AS n FROM t GROUP BY trigram
+HAVING count(*) >= {TRIGRAM_MIN_SUPPORT}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. Contamination screen: count documents containing each of a fixed
+# probe-phrase set (the benchmark-contamination / blocklist-phrase
+# scan). Broadcast-small probe list, one Arrow match_substring pass per
+# probe per batch (RE2-free literal scan), per-block hit counts tree-
+# combined. Probes that hit nothing still appear with n_docs = 0.
+# ---------------------------------------------------------------------------
+
+CONTAMINATION_PROBES = [
+    "key agg row", "window table", "merge batch", "the line sort",
+    "spark a a the", "no such phrase xyz",
+]
+
+
+def q_contamination(sf_dir: str):
+    """(probe, n_docs): documents containing each probe substring."""
+    import ray.data
+
+    from ..stages.agg import tree_sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        counts = [int(pc.sum(pc.match_substring(text, p)).as_py() or 0)
+                  for p in CONTAMINATION_PROBES]
+        return pa.table({
+            "probe": pa.array(CONTAMINATION_PROBES, pa.string()),
+            "n_docs": pa.array(counts, pa.int64()),
+        })
+
+    return tree_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["probe"], ["n_docs"])
+
+
+CONTAMINATION_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{p}' AS probe, "
+    f"CAST(count(*) FILTER (WHERE contains(text, '{p}')) AS BIGINT) "
+    f"AS n_docs FROM documents"
+    for p in CONTAMINATION_PROBES)
+
+
 def new_queries3() -> dict:
     return {
         "profile_table": q_profile_table,
@@ -592,6 +691,8 @@ def new_queries3() -> dict:
         "grouped_regression": q_grouped_regression,
         "inverted_index": q_inverted_index,
         "latest_snapshot": q_latest_snapshot,
+        "ngram_counts": q_ngram_counts,
+        "contamination": q_contamination,
     }
 
 
@@ -604,4 +705,6 @@ def new_oracle_sqls3() -> dict:
         "grouped_regression": GROUPED_REGRESSION_SQL,
         "inverted_index": INVERTED_INDEX_SQL,
         "latest_snapshot": LATEST_SNAPSHOT_SQL,
+        "ngram_counts": NGRAM_COUNTS_SQL,
+        "contamination": CONTAMINATION_SQL,
     }

@@ -682,6 +682,51 @@ CONTAMINATION_SQL = "\nUNION ALL\n".join(
     for p in CONTAMINATION_PROBES)
 
 
+# ---------------------------------------------------------------------------
+# 10. Grouped ranking: row_number within each user's timeline — the
+# partitioned window-function counterpart of the global rank. One
+# (user, ts, id) range shuffle; within-run positions come from the
+# vectorized run-index subtraction (no per-group dispatch). Unlike
+# global_rank no cross-block offset pass is needed: sorted_map_groups
+# guarantees every group lands whole on one block.
+# ---------------------------------------------------------------------------
+
+
+def q_grouped_rank(sf_dir: str):
+    """(event_id, user_id, seq): 1-based position of each event in its
+    user's (ts, event_id) order."""
+    import ray.data
+
+    from ..stages.agg import group_runs, sorted_map_groups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+
+    def block(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "seq": pa.array([], pa.int64())})
+        starts, ends = group_runs(batch, ["user_id"])
+        run_id = np.repeat(np.arange(len(starts)), ends - starts)
+        seq = np.arange(n, dtype=np.int64) - starts[run_id] + 1
+        return pa.table({"event_id": batch.column("event_id"),
+                         "user_id": batch.column("user_id"),
+                         "seq": pa.array(seq)})
+
+    return sorted_map_groups(ds, ["user_id"], block,
+                             sort_keys=["user_id", "ts", "event_id"])
+
+
+GROUPED_RANK_SQL = """
+SELECT event_id, user_id,
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS seq
+FROM events
+"""
+
+
 def new_queries3() -> dict:
     return {
         "profile_table": q_profile_table,
@@ -693,6 +738,7 @@ def new_queries3() -> dict:
         "latest_snapshot": q_latest_snapshot,
         "ngram_counts": q_ngram_counts,
         "contamination": q_contamination,
+        "grouped_rank": q_grouped_rank,
     }
 
 
@@ -707,4 +753,5 @@ def new_oracle_sqls3() -> dict:
         "latest_snapshot": LATEST_SNAPSHOT_SQL,
         "ngram_counts": NGRAM_COUNTS_SQL,
         "contamination": CONTAMINATION_SQL,
+        "grouped_rank": GROUPED_RANK_SQL,
     }

@@ -727,6 +727,59 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# 11. Order-independent table checksum: sum of per-row md5 digests mod
+# 2^64 — the replication / migration integrity fingerprint (any row
+# order, any partitioning, same digest). Per-block partials wrap in
+# int64 two's-complement (≡ uint64 mod 2^64, verified against Arrow's
+# wrapping sum) and tree-combine; md5 per row is the repo's accepted
+# SQL-parity exception (DuckDB md5_number_lower must be reproduced).
+# Digest emitted as a decimal string so both engines compare exactly.
+# ---------------------------------------------------------------------------
+
+
+def q_table_checksum(sf_dir: str):
+    """(checksum, n_rows) over documents: md5-row-digest sum mod 2^64."""
+    import ray.data
+
+    from ..functions.text import md5_u64
+    from ..stages.agg import tree_sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=PROFILE_COLS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        joined = pc.binary_join_element_wise(
+            *[pc.cast(batch.column(c), pa.string())
+              for c in PROFILE_COLS], "|")
+        h = md5_u64([s.encode() for s in joined.to_pylist()])
+        lo = np.int64(h.sum())  # wraps: ≡ mod 2^64
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "cs": pa.array([lo], pa.int64()),
+                         "n_rows": pa.array([batch.num_rows], pa.int64())})
+
+    rows = tree_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["k"], ["cs", "n_rows"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cs = batch.column("cs").to_numpy().view(np.uint64)
+        return pa.table({
+            "checksum": pa.array([str(int(v)) for v in cs], pa.string()),
+            "n_rows": batch.column("n_rows"),
+        })
+
+    return rows.map_batches(finish, batch_format="pyarrow")
+
+
+TABLE_CHECKSUM_SQL = f"""
+SELECT CAST(CAST(sum(CAST(md5_number_lower(
+         concat_ws('|', {", ".join(PROFILE_COLS)})) AS HUGEINT))
+       % 18446744073709551616 AS UBIGINT) AS VARCHAR) AS checksum,
+       count(*) AS n_rows
+FROM documents
+"""
+
+
 def new_queries3() -> dict:
     return {
         "profile_table": q_profile_table,
@@ -739,6 +792,7 @@ def new_queries3() -> dict:
         "ngram_counts": q_ngram_counts,
         "contamination": q_contamination,
         "grouped_rank": q_grouped_rank,
+        "table_checksum": q_table_checksum,
     }
 
 
@@ -754,4 +808,5 @@ def new_oracle_sqls3() -> dict:
         "ngram_counts": NGRAM_COUNTS_SQL,
         "contamination": CONTAMINATION_SQL,
         "grouped_rank": GROUPED_RANK_SQL,
+        "table_checksum": TABLE_CHECKSUM_SQL,
     }

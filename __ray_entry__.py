@@ -29,10 +29,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from karta_ray.pipelines import queries as Q
     from karta_ray.pipelines import queries2 as Q2
     from karta_ray.pipelines import queries3 as Q3
+    from karta_ray.pipelines import queries4 as Q4
 
     return {
         **Q2.new_queries(),
         **Q3.new_queries3(),
+        **Q4.new_queries4(),
         "tile_assign": Q.q_tile_assign,
         "pip_join": Q.q_pip_join,
         "pip_agg": Q.q_pip_agg,
@@ -70,10 +72,12 @@ def oracle_sql() -> dict[str, str]:
     from karta_ray.pipelines import queries as Q
     from karta_ray.pipelines import queries2 as Q2
     from karta_ray.pipelines import queries3 as Q3
+    from karta_ray.pipelines import queries4 as Q4
 
     # queries2 also upgrades lang_id from rows-only to oracle-checked;
     # oracles_hard covers the formerly rows-only approximate/iterative
     # ops (minhash_lsh, simhash, approx_distinct, kmeans, convex_hull,
     # ann_ivf) with bit-parity SQL
     return {**Q.oracle_sqls(), **Q2.new_oracle_sqls(),
-            **Q3.new_oracle_sqls3(), **OH.hard_oracle_sqls()}
+            **Q3.new_oracle_sqls3(), **Q4.new_oracle_sqls4(),
+            **OH.hard_oracle_sqls()}

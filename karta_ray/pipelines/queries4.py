@@ -1,0 +1,313 @@
+"""Round-4 (final) oracle queries: zonal statistics (raster x vector),
+multi-zoom tile pyramid rollup, and ordered-funnel event analysis.
+
+Same parity rules as queries.py / queries2.py / queries3.py: exact
+integers or identical IEEE float op sequences on both engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .queries import (GRID_SHAPE, GRID_T, PTS_SQL, ZOOM, _edges_sql_values,
+                      _synthetic_grid, points_ds, query_polyset)
+
+# ---------------------------------------------------------------------------
+# 1. Zonal statistics: per-polygon aggregate of the raster cells whose
+# CENTERS fall inside the polygon (the classic raster<-vector zonal
+# op; reference semantics = Grid cell centers + Polygon.contains,
+# karta/raster/grid.py coordinates + vector/contains.pyx winding).
+#
+# Plan (all streaming):
+#   tiles_dataset (tile records) -> expand to cell-center rows
+#   (vectorized per tile) -> assign_cells -> pip_join against the
+#   broadcast polygon layer (same joiner as pip_join; zoom-cell cover
+#   prefilter + exact winding) -> per-block partial (poly_id stats)
+#   -> tree_agg final.
+# Scale: cell rows stream tile-by-tile (never one giant array); the
+# polygon layer is ray.put once; the aggregate is bounded by #polys.
+# ---------------------------------------------------------------------------
+
+
+def _cells_from_tile_records(batch: pa.Table) -> pa.Table:
+    """Expand tile records into (lon, lat, value) cell-center rows.
+
+    The Python loop is over TILE RECORDS (a handful per block), not
+    cells; per-tile work is vectorized numpy."""
+    gis, gjs, vals = [], [], []
+    cols = {n: batch.column(n).to_pylist()
+            for n in ("i0", "j0", "ny", "nx", "pt", "pl", "pny", "pnx",
+                      "dtype")}
+    raw = batch.column("values").to_pylist()
+    for r in range(batch.num_rows):
+        pny, pnx = cols["pny"][r], cols["pnx"][r]
+        block = np.frombuffer(raw[r], dtype=np.dtype(cols["dtype"][r]))
+        block = block.reshape(pny, pnx)
+        pt, pl = cols["pt"][r], cols["pl"][r]
+        ny, nx = cols["ny"][r], cols["nx"][r]
+        core = block[pt:pt + ny, pl:pl + nx]
+        jj, ii = np.meshgrid(np.arange(nx), np.arange(ny))
+        gis.append((ii + cols["i0"][r]).ravel())
+        gjs.append((jj + cols["j0"][r]).ravel())
+        vals.append(core.ravel())
+    gi = np.concatenate(gis) if gis else np.empty(0, np.int64)
+    gj = np.concatenate(gjs) if gjs else np.empty(0, np.int64)
+    v = np.concatenate(vals) if vals else np.empty(0, np.float64)
+    t = batch.column("transform")[0].as_py() if batch.num_rows else GRID_T
+    # cell centers; (gj + 0.5) and the origin sums are exact in float64
+    # for 1-degree grids, so any evaluation order matches the SQL
+    lon = t[0] + (gj + 0.5) * t[2]
+    lat = t[1] + (gi + 0.5) * t[3]
+    return pa.table({
+        "gi": pa.array(gi.astype(np.int64), pa.int64()),
+        "gj": pa.array(gj.astype(np.int64), pa.int64()),
+        "lon": pa.array(lon, pa.float64()),
+        "lat": pa.array(lat, pa.float64()),
+        "value": pa.array(v.astype(np.int64), pa.int64()),
+    })
+
+
+def q_zonal_stats(sf_dir: str):
+    """Per-polygon stats (count/sum/min/max/mean) of the synthetic
+    1-degree grid's cell centers inside each query polygon."""
+    from ..stages.agg import tree_agg
+    from ..stages.join import pip_join
+    from ..stages.raster import tiles_dataset
+    from ..stages.tiles import assign_cells
+
+    tiles = tiles_dataset(_synthetic_grid(), GRID_T)
+    cells = tiles.map_batches(_cells_from_tile_records,
+                              batch_format="pyarrow", zero_copy_batch=True)
+    cells = cells.map_batches(assign_cells, batch_format="pyarrow",
+                              zero_copy_batch=True, fn_kwargs={"zoom": ZOOM})
+    joined = pip_join(cells, query_polyset(), zoom=ZOOM, mode="inner")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["poly_id"]).aggregate(
+            [("value", "count"), ("value", "sum"),
+             ("value", "min"), ("value", "max")])
+        return g.rename_columns(["poly_id", "n_cells", "sum_value",
+                                 "min_value", "max_value"])
+
+    parts = joined.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    out = tree_agg(parts, ["poly_id"],
+                   [("n_cells", "sum"), ("sum_value", "sum"),
+                    ("min_value", "min"), ("max_value", "max")])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        s = batch.column("sum_value").to_numpy().astype(np.float64)
+        n = batch.column("n_cells").to_numpy().astype(np.float64)
+        return batch.append_column("mean_value", pa.array(s / n,
+                                                          pa.float64()))
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+# the dateline unroll, parameterized on the lon expression (mirrors
+# queries._UNROLL_SQL, which hard-codes the pts alias)
+def _unroll_sql(lon_expr: str) -> str:
+    m = f"((({lon_expr}) - 180.0) + 180.0) % 360.0"
+    return (f"180.0 + ((CASE WHEN {m} >= 0 THEN {m} "
+            f"ELSE {m} + 360.0 END) - 180.0)")
+
+
+_WINDING_CASE = """SUM(CASE
+             WHEN y0 <= py AND py < y1
+                  AND (x1-x0)*(py-y0) - (px-x0)*(y1-y0) > 0 THEN 1
+             WHEN y0 > py AND py >= y1
+                  AND (x1-x0)*(py-y0) - (px-x0)*(y1-y0) < 0 THEN -1
+             ELSE 0 END)"""
+
+
+def _zonal_sql() -> str:
+    ny, nx = GRID_SHAPE
+    x0, y0, dx, dy = GRID_T[0], GRID_T[1], GRID_T[2], GRID_T[3]
+    return f"""
+WITH cells AS (
+  SELECT gi, gj,
+         {x0!r} + (gj + 0.5) * {dx!r} AS lon,
+         {y0!r} + (gi + 0.5) * {dy!r} AS lat,
+         (gi * 31 + gj * 17) % 97 AS v
+  FROM range({ny}) t1(gi) CROSS JOIN range({nx}) t2(gj)),
+edges(poly_id, frame, x0, y0, x1, y1) AS (VALUES
+    {_edges_sql_values()}),
+pe AS (
+  SELECT c.gi, c.gj, c.v, e.poly_id,
+         CASE WHEN e.frame = 1 THEN {_unroll_sql('c.lon')}
+              ELSE c.lon END AS px,
+         c.lat AS py, e.x0, e.y0, e.x1, e.y1
+  FROM cells c CROSS JOIN edges e),
+wn AS (
+  SELECT gi, gj, poly_id, ANY_VALUE(v) AS v, {_WINDING_CASE} AS w
+  FROM pe GROUP BY gi, gj, poly_id)
+SELECT poly_id, COUNT(*) AS n_cells,
+       CAST(SUM(v) AS BIGINT) AS sum_value,
+       CAST(MIN(v) AS BIGINT) AS min_value,
+       CAST(MAX(v) AS BIGINT) AS max_value,
+       CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_value
+FROM wn WHERE w <> 0 GROUP BY poly_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Tile pyramid rollup: per-tile point counts at EVERY zoom 0..ZOOM
+# in one scan + one bounded tree-combine. Lower zooms are derived by
+# INTEGER halving of the zoom-ZOOM tile indices (floor(x/2) ==
+# floor(floor(x)/2) — exact), so no float re-evaluation per level and
+# bit-parity with the SQL's `>>` is structural. The per-block rollup
+# shrinks data BEFORE the shuffle: the combine ships at most
+# sum_z(unique tiles at z) rows per block regardless of row count.
+# ---------------------------------------------------------------------------
+
+
+def q_tile_pyramid(sf_dir: str):
+    from ..kernels import tiles as tk
+    from ..stages.agg import tree_sum
+
+    ds = points_ds(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        x, y = tk.tile_xy(lon, lat, ZOOM)
+        packed = (x << 29) | y
+        uniq, n = np.unique(packed, return_counts=True)
+        zs, xs, ys, ns = [], [], [], []
+        for z in range(ZOOM, -1, -1):
+            zs.append(np.full(len(uniq), z, np.int64))
+            xs.append(uniq >> 29)
+            ys.append(uniq & ((1 << 29) - 1))
+            ns.append(n)
+            parent = ((uniq >> 29) >> 1) << 29 | ((uniq & ((1 << 29) - 1)) >> 1)
+            uniq, inv = np.unique(parent, return_inverse=True)
+            n = np.bincount(inv, weights=n).astype(np.int64)
+        return pa.table({
+            "zoom": pa.array(np.concatenate(zs), pa.int64()),
+            "tile_x": pa.array(np.concatenate(xs), pa.int64()),
+            "tile_y": pa.array(np.concatenate(ys), pa.int64()),
+            "n_points": pa.array(np.concatenate(ns), pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return tree_sum(parts, ["zoom", "tile_x", "tile_y"], ["n_points"])
+
+
+def _pyramid_sql() -> str:
+    c = f"(128/pi()*2^{ZOOM})"
+    tx = f"CAST(floor({c} * (lon*pi()/180 + pi()) / 256) AS BIGINT)"
+    ty = (f"CAST(floor({c} * (pi() - ln(tan(pi()/4 + lat*pi()/360))) / 256)"
+          f" AS BIGINT)")
+    return f"""
+WITH pts AS ({PTS_SQL}),
+base AS (
+  SELECT {tx} AS tx, {ty} AS ty, COUNT(*) AS n
+  FROM pts GROUP BY 1, 2)
+SELECT CAST(z.zoom AS BIGINT) AS zoom,
+       base.tx >> ({ZOOM} - z.zoom) AS tile_x,
+       base.ty >> ({ZOOM} - z.zoom) AS tile_y,
+       CAST(SUM(n) AS BIGINT) AS n_points
+FROM base CROSS JOIN range({ZOOM + 1}) z(zoom)
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Ordered funnel: per-user progressive step matching over the event
+# stream (first 'view', then first 'click' strictly after it, then
+# first 'purchase' strictly after that). One range shuffle by user_id;
+# the per-block body is 3 vectorized passes over the whole block
+# (segmented min via np.minimum.reduceat), no per-user Python.
+#
+# Residue note: sorted_map_groups defers each block's first/last user
+# run wholesale; per-user event counts are bounded in practice (and
+# cappable upstream), so the residue stays small — the documented
+# bounded-key-domain mode.
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+_I64_MAX = np.iinfo(np.int64).max
+_I64_MIN = np.iinfo(np.int64).min
+
+
+def q_funnel(sf_dir: str):
+    import ray.data
+
+    from ..stages.agg import group_runs, sorted_map_groups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+
+    def block_fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "steps_reached": pa.array([], pa.int64())})
+        starts, _ends = group_runs(tbl, ["user_id"])
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        run_lens = np.append(starts[1:], tbl.num_rows) - starts
+        run_idx = np.repeat(np.arange(len(starts)), run_lens)
+        thr = np.full(len(starts), _I64_MIN)
+        steps = np.zeros(len(starts), np.int64)
+        for step in FUNNEL_STEPS:
+            is_step = pc.equal(tbl.column("event_type"),
+                               pa.scalar(step)).to_numpy(zero_copy_only=False)
+            cand = np.where(is_step & (ts > thr[run_idx]), ts, _I64_MAX)
+            m = np.minimum.reduceat(cand, starts)
+            reached = m < _I64_MAX
+            steps += reached
+            thr = np.where(reached, m, _I64_MAX)
+        return pa.table({"user_id": pa.array(uid[starts], pa.int64()),
+                         "steps_reached": pa.array(steps, pa.int64())})
+
+    return sorted_map_groups(ds, ["user_id"], block_fn)
+
+
+def _funnel_sql() -> str:
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+f1 AS (SELECT user_id, MIN(ts) AS t FROM events
+       WHERE event_type = '{s1}' GROUP BY user_id),
+f2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN f1 ON e.user_id = f1.user_id AND e.ts > f1.t
+       WHERE e.event_type = '{s2}' GROUP BY e.user_id),
+f3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN f2 ON e.user_id = f2.user_id AND e.ts > f2.t
+       WHERE e.event_type = '{s3}' GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN f3.t IS NOT NULL THEN 3
+                 WHEN f2.t IS NOT NULL THEN 2
+                 WHEN f1.t IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS steps_reached
+FROM u
+LEFT JOIN f1 ON u.user_id = f1.user_id
+LEFT JOIN f2 ON u.user_id = f2.user_id
+LEFT JOIN f3 ON u.user_id = f3.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# registration
+# ---------------------------------------------------------------------------
+
+
+def new_queries4() -> dict:
+    return {
+        "zonal_stats": q_zonal_stats,
+        "tile_pyramid": q_tile_pyramid,
+        "funnel": q_funnel,
+    }
+
+
+def new_oracle_sqls4() -> dict:
+    return {
+        "zonal_stats": _zonal_sql(),
+        "tile_pyramid": _pyramid_sql(),
+        "funnel": _funnel_sql(),
+    }

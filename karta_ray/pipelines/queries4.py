@@ -293,6 +293,103 @@ LEFT JOIN f3 ON u.user_id = f3.user_id
 
 
 # ---------------------------------------------------------------------------
+# 4. Star join: fact x fact hash join + broadcast dimensions. The
+# big-big side (lineitem x orders) goes through Ray's distributed hash
+# join; the small dimensions (customer -> nation) are ray.put once and
+# looked up with np.searchsorted inside map_batches — never re-shipped
+# per batch, never shuffled. The aggregate is bounded (25 nations) so
+# partial sums collapse per block before the tree combine.
+# At 100 TB, num_partitions should scale with the fact-table block
+# count; the dims stay broadcast as long as they fit a worker heap.
+# ---------------------------------------------------------------------------
+
+
+def q_star_join(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from ..stages.agg import tree_sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    order_ck = np.argsort(cust.column("c_custkey").to_numpy())
+    ck_sorted = cust.column("c_custkey").to_numpy()[order_ck]
+    nk_by_ck = cust.column("c_nationkey").to_numpy()[order_ck]
+    dim_ref = ray.put((ck_sorted, nk_by_ck.astype(np.int64)))
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+
+    def add_nation(batch: pa.Table, *, ref) -> pa.Table:
+        cks, nks = ray.get(ref)
+        q = batch.column("o_custkey").to_numpy()
+        idx = np.searchsorted(cks, q)
+        idx_c = np.minimum(idx, len(cks) - 1)
+        ok = cks[idx_c] == q
+        out = pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "nationkey": pa.array(nks[idx_c], pa.int64()),
+        })
+        return out.filter(pa.array(ok))
+
+    orders_slim = orders.map_batches(add_nation, batch_format="pyarrow",
+                                     zero_copy_batch=True,
+                                     fn_kwargs={"ref": dim_ref})
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_quantity"])
+
+    def slim_li(batch: pa.Table) -> pa.Table:
+        q = batch.column("l_quantity").to_numpy().astype(np.int64)
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "qty": pa.array(q, pa.int64())})
+
+    li_slim = li.map_batches(slim_li, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    joined = li_slim.join(orders_slim, "inner", num_partitions=16,
+                          on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.append_column(
+            "n", pa.array(np.ones(batch.num_rows, np.int64)))
+        g = t.group_by(["nationkey"]).aggregate([("n", "sum"),
+                                                 ("qty", "sum")])
+        return g.rename_columns(["nationkey", "n_rows", "sum_qty"])
+
+    agg = tree_sum(joined.map_batches(partial, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                   ["nationkey"], ["n_rows", "sum_qty"])
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    names = dict(zip(nat.column("n_nationkey").to_pylist(),
+                     nat.column("n_name").to_pylist()))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        nk = batch.column("nationkey").to_pylist()
+        return pa.table({
+            "n_name": pa.array([names[k] for k in nk], pa.string()),
+            "n_rows": batch.column("n_rows"),
+            "sum_qty": batch.column("sum_qty"),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+_STAR_SQL = """
+SELECT n_name, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -302,6 +399,7 @@ def new_queries4() -> dict:
         "zonal_stats": q_zonal_stats,
         "tile_pyramid": q_tile_pyramid,
         "funnel": q_funnel,
+        "star_join": q_star_join,
     }
 
 
@@ -310,4 +408,5 @@ def new_oracle_sqls4() -> dict:
         "zonal_stats": _zonal_sql(),
         "tile_pyramid": _pyramid_sql(),
         "funnel": _funnel_sql(),
+        "star_join": _STAR_SQL,
     }

@@ -119,6 +119,33 @@ def test_funnel_matches_pandas(ray_session):
     assert (got >= 1).any()
 
 
+# ---------------------------------------------------------------------------
+# star join
+# ---------------------------------------------------------------------------
+
+
+def test_star_join_matches_pandas(ray_session):
+    from karta_ray.pipelines.queries4 import q_star_join
+
+    got = q_star_join(SF).to_pandas().set_index("n_name").sort_index()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    od = pd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey"])
+    cu = pd.read_parquet(f"{SF}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    na = pd.read_parquet(f"{SF}/nation.parquet",
+                         columns=["n_nationkey", "n_name"])
+    j = (li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+           .merge(cu, left_on="o_custkey", right_on="c_custkey")
+           .merge(na, left_on="c_nationkey", right_on="n_nationkey"))
+    j["qty"] = j["l_quantity"].astype("int64")
+    want = j.groupby("n_name").agg(n_rows=("qty", "size"),
+                                   sum_qty=("qty", "sum")).sort_index()
+    assert got["n_rows"].to_dict() == want["n_rows"].to_dict()
+    assert got["sum_qty"].to_dict() == want["sum_qty"].to_dict()
+
+
 def test_funnel_user_straddling_blocks(ray_session):
     """A user whose events straddle >= 3 blocks must still resolve
     through the boundary residue path."""

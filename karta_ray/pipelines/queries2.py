@@ -2123,10 +2123,18 @@ EMB_DIM = 64
 
 
 def q_lang_centroids(sf_dir: str):
-    """(lang, dim, centroid): elementwise mean embedding per language."""
+    """(lang, dim, centroid): elementwise mean embedding per language.
+
+    The emb x docs primary-key join is ONE sorted co-shuffle (both
+    sides tagged and unioned, range shuffle by id) with the per-lang
+    partial aggregation FUSED into the run merge — joined rows are
+    never materialized, and the generic hash join's aggregator fixed
+    cost (the dominant term at bench scale) is gone entirely. Both
+    sides are unique on the key, so every complete run is (doc row,
+    emb row)."""
     import ray.data
 
-    from ..stages.agg import tree_sum
+    from ..stages.agg import group_runs, sorted_map_groups, tree_sum
 
     from ..functions.arrays import (binary_column_to_matrix,
                                     matrix_to_binary_column)
@@ -2136,23 +2144,48 @@ def q_lang_centroids(sf_dir: str):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "lang"])
 
-    # Arrow's hash join rejects nested payload columns — carry the
-    # vector through the shuffle as a fixed-width binary blob
-    def pack(batch: pa.Table) -> pa.Table:
+    # Arrow range shuffles reject nothing, but fixed-width binary blobs
+    # shuffle cheaper than list<float> columns — pack the vector
+    def emb_side(batch: pa.Table) -> pa.Table:
         mat = np.asarray(batch.column("embedding").combine_chunks()
                          .flatten().to_numpy(zero_copy_only=False),
                          dtype=np.float32).reshape(-1, EMB_DIM)
-        return pa.table({"vec_id": batch.column("vec_id"),
+        n = batch.num_rows
+        return pa.table({"key": batch.column("vec_id"),
+                         "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                         "lang": pa.nulls(n, pa.string()),
                          "vec": matrix_to_binary_column(mat)})
 
-    joined = emb.map_batches(pack, batch_format="pyarrow").join(
-        docs, "inner", num_partitions=8,
-        on=("vec_id",), right_on=("doc_id",))
+    def docs_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"key": batch.column("doc_id"),
+                         "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                         "lang": batch.column("lang"),
+                         "vec": pa.nulls(n, pa.binary())})
 
-    def partial(batch: pa.Table) -> pa.Table:
-        langs = batch.column("lang").to_pylist()
-        mat = binary_column_to_matrix(batch.column("vec"), np.float32,
-                                      EMB_DIM).astype(np.float64)
+    unioned = (docs.map_batches(docs_side, batch_format="pyarrow",
+                                zero_copy_batch=True)
+               .union(emb.map_batches(emb_side, batch_format="pyarrow",
+                                      zero_copy_batch=True)))
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], pa.string()),
+                          "dim": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.float64()),
+                          "n": pa.array([], pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        starts, _ends = group_runs(tbl, ["key"])
+        side = tbl.column("side").to_numpy()
+        run_lens = np.append(starts[1:], tbl.num_rows) - starts
+        valid = (run_lens == 2) & (side[starts] == 0)
+        if not valid.any():
+            return empty
+        langs = tbl.column("lang").take(
+            pa.array(starts[valid])).to_pylist()
+        mat = binary_column_to_matrix(
+            tbl.column("vec").take(pa.array(starts[valid] + 1)),
+            np.float32, EMB_DIM).astype(np.float64)
         out_l, out_d, out_s, out_n = [], [], [], []
         for lang in sorted(set(langs)):
             m = np.array([x == lang for x in langs])
@@ -2167,8 +2200,9 @@ def q_lang_centroids(sf_dir: str):
             "n": pa.array(np.concatenate(out_n)),
         })
 
-    rows = tree_sum(joined.map_batches(partial, batch_format="pyarrow"),
-                    ["lang", "dim"], ["s", "n"])
+    parts = sorted_map_groups(unioned, ["key"], merge,
+                              sort_keys=["key", "side"])
+    rows = tree_sum(parts, ["lang", "dim"], ["s", "n"])
 
     def finish(batch: pa.Table) -> pa.Table:
         s = batch.column("s").to_numpy()

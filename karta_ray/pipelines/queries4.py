@@ -429,6 +429,63 @@ GROUP BY n_name
 
 
 # ---------------------------------------------------------------------------
+# 5. CSV source/sink round-trip: write a slice of the events table as
+# CSV, read it back with the parallel CSV reader, aggregate — equality
+# with the direct aggregate (the oracle) proves the codec lossless.
+# Integer/string columns only: CSV float text round-trips are not
+# bit-stable and belong in parquet.
+# ---------------------------------------------------------------------------
+
+
+def q_csv_roundtrip(sf_dir: str):
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from ..stages.agg import tree_sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id",
+                                        "event_type"])
+    out = tempfile.mkdtemp(prefix="karta_csv_")
+    try:
+        ds.write_csv(out)
+        back = ray.data.read_csv(out)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            t = pa.table({
+                "event_type": batch.column("event_type"),
+                "n_events": pa.array(np.ones(batch.num_rows, np.int64)),
+                "sum_event_id": pc.cast(batch.column("event_id"),
+                                        pa.int64()),
+                "sum_user_id": pc.cast(batch.column("user_id"),
+                                       pa.int64()),
+            })
+            g = t.group_by(["event_type"]).aggregate(
+                [("n_events", "sum"), ("sum_event_id", "sum"),
+                 ("sum_user_id", "sum")])
+            return g.rename_columns(["event_type", "n_events",
+                                     "sum_event_id", "sum_user_id"])
+
+        res = tree_sum(back.map_batches(partial, batch_format="pyarrow"),
+                       ["event_type"],
+                       ["n_events", "sum_event_id", "sum_user_id"]
+                       ).materialize()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+_CSV_ROUNDTRIP_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user_id
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -439,6 +496,7 @@ def new_queries4() -> dict:
         "tile_pyramid": q_tile_pyramid,
         "funnel": q_funnel,
         "star_join": q_star_join,
+        "csv_roundtrip": q_csv_roundtrip,
     }
 
 
@@ -448,4 +506,5 @@ def new_oracle_sqls4() -> dict:
         "tile_pyramid": _pyramid_sql(),
         "funnel": _funnel_sql(),
         "star_join": _STAR_SQL,
+        "csv_roundtrip": _CSV_ROUNDTRIP_SQL,
     }

@@ -54,6 +54,31 @@ def test_zonal_stats_matches_brute(ray_session):
         assert row["mean_value"] == pytest.approx(s / n)
 
 
+def test_cells_from_tile_records_multi_tile():
+    """Tile decomposition must reproduce every cell exactly once with
+    correct global indices regardless of tile size."""
+    from karta_ray.pipelines.queries import GRID_SHAPE, GRID_T, \
+        _synthetic_grid
+    from karta_ray.pipelines.queries4 import _cells_from_tile_records
+    from karta_ray.stages.raster import tiles_from_grid
+
+    grid = _synthetic_grid()
+    recs = tiles_from_grid(grid, GRID_T, tile=50)
+    assert recs.num_rows > 20  # genuinely multi-tile
+    cells = _cells_from_tile_records(recs)
+    assert cells.num_rows == GRID_SHAPE[0] * GRID_SHAPE[1]
+    gi = cells.column("gi").to_numpy()
+    gj = cells.column("gj").to_numpy()
+    v = cells.column("value").to_numpy()
+    assert (v == grid[gi, gj].astype(np.int64)).all()
+    # unique (gi, gj)
+    assert len(np.unique(gi * GRID_SHAPE[1] + gj)) == cells.num_rows
+    lon = cells.column("lon").to_numpy()
+    lat = cells.column("lat").to_numpy()
+    assert (lon == GRID_T[0] + (gj + 0.5) * GRID_T[2]).all()
+    assert (lat == GRID_T[1] + (gi + 0.5) * GRID_T[3]).all()
+
+
 # ---------------------------------------------------------------------------
 # tile pyramid
 # ---------------------------------------------------------------------------

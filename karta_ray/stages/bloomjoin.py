@@ -13,10 +13,10 @@ row. Here only rows that *probably* match move:
    k positions are all set. False-positive rate ~ (1-e^{-kn/m})^k;
    with the default m=2^23, k=4 it stays under 1% up to ~1M keys.
 3. **verify** (exact semantics): survivors — true matches plus the
-   small false-positive residue — go through a real distributed hash
-   join against the right key set, so the output is the EXACT
-   semi-join. The shuffle volume is |survivors| + |right keys|, not
-   |left|.
+   small false-positive residue — go through one sorted co-shuffle
+   against the right key set (see :func:`_verify_filter`), so the
+   output is the EXACT semi-join. The shuffle volume is |survivors| +
+   |right keys|, not |left|.
 
 Scale audit: left streams (never materialized); the only broadcast is
 the m/8-byte bitmap; the verify join's left side is output-sized.
@@ -107,7 +107,7 @@ def build_bloom(right, *, key: str, m_bits: int, n_hashes: int,
 def bloom_semi_join(left, right, *, key: str,
                     m_bits: int = 1 << 23, n_hashes: int = 4,
                     right_distinct: bool = True, exact: bool = True,
-                    anti: bool = False, num_partitions: int = 8):
+                    anti: bool = False):
     """Exact semi-join ``left`` ⋉ ``right`` on int64 ``key``, or the
     anti-join (left rows whose key is NOT in right) with ``anti=True``.
 

@@ -231,41 +231,15 @@ GROUP BY 1, 2, 3
 
 FUNNEL_STEPS = ("view", "click", "purchase")
 
-_I64_MAX = np.iinfo(np.int64).max
-_I64_MIN = np.iinfo(np.int64).min
-
 
 def q_funnel(sf_dir: str):
     import ray.data
 
-    from ..stages.agg import group_runs, sorted_map_groups
+    from ..stages.session import funnel_steps
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts", "event_type"])
-
-    def block_fn(tbl: pa.Table) -> pa.Table:
-        if tbl.num_rows == 0:
-            return pa.table({"user_id": pa.array([], pa.int64()),
-                             "steps_reached": pa.array([], pa.int64())})
-        starts, _ends = group_runs(tbl, ["user_id"])
-        uid = tbl.column("user_id").to_numpy()
-        ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        run_lens = np.append(starts[1:], tbl.num_rows) - starts
-        run_idx = np.repeat(np.arange(len(starts)), run_lens)
-        thr = np.full(len(starts), _I64_MIN)
-        steps = np.zeros(len(starts), np.int64)
-        for step in FUNNEL_STEPS:
-            is_step = pc.equal(tbl.column("event_type"),
-                               pa.scalar(step)).to_numpy(zero_copy_only=False)
-            cand = np.where(is_step & (ts > thr[run_idx]), ts, _I64_MAX)
-            m = np.minimum.reduceat(cand, starts)
-            reached = m < _I64_MAX
-            steps += reached
-            thr = np.where(reached, m, _I64_MAX)
-        return pa.table({"user_id": pa.array(uid[starts], pa.int64()),
-                         "steps_reached": pa.array(steps, pa.int64())})
-
-    return sorted_map_groups(ds, ["user_id"], block_fn)
+    return funnel_steps(ds, FUNNEL_STEPS)
 
 
 def _funnel_sql() -> str:

@@ -133,3 +133,62 @@ def sessionize(ds, *, user_col: str = "user_id", ts_col: str = "ts",
     return sorted_map_groups(parts, ["user_id"], merge,
                              pre_reduce=stitch_partials,
                              sort_keys=["user_id", "first_ts"])
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnels
+# ---------------------------------------------------------------------------
+
+_I64_MAX = np.iinfo(np.int64).max
+_I64_MIN = np.iinfo(np.int64).min
+
+
+def funnel_block(tbl: pa.Table, steps, *, user_col: str = "user_id",
+                 ts_col: str = "ts", type_col: str = "event_type"
+                 ) -> pa.Table:
+    """Progressive funnel over a ``user_col``-sorted block: per user,
+    the first ``steps[0]`` event, then the first ``steps[1]`` strictly
+    after it, and so on. Returns (user_id, steps_reached). len(steps)
+    vectorized passes over the whole block — segmented mins via
+    ``np.minimum.reduceat`` — no per-user Python."""
+    import pyarrow.compute as pc
+
+    from .agg import group_runs
+
+    if tbl.num_rows == 0:
+        return pa.table({user_col: pa.array([], pa.int64()),
+                         "steps_reached": pa.array([], pa.int64())})
+    starts, _ends = group_runs(tbl, [user_col])
+    uid = tbl.column(user_col).to_numpy()
+    ts = tbl.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    run_lens = np.append(starts[1:], tbl.num_rows) - starts
+    run_idx = np.repeat(np.arange(len(starts)), run_lens)
+    thr = np.full(len(starts), _I64_MIN)
+    reached_steps = np.zeros(len(starts), np.int64)
+    for step in steps:
+        is_step = pc.equal(tbl.column(type_col),
+                           pa.scalar(step)).to_numpy(zero_copy_only=False)
+        cand = np.where(is_step & (ts > thr[run_idx]), ts, _I64_MAX)
+        m = np.minimum.reduceat(cand, starts)
+        reached = m < _I64_MAX
+        reached_steps += reached
+        thr = np.where(reached, m, _I64_MAX)
+    return pa.table({user_col: pa.array(uid[starts], pa.int64()),
+                     "steps_reached": pa.array(reached_steps, pa.int64())})
+
+
+def funnel_steps(ds, steps, *, user_col: str = "user_id",
+                 ts_col: str = "ts", type_col: str = "event_type"):
+    """Distributed ordered funnel: one range shuffle by user, then
+    :func:`funnel_block` per block. Users straddling block boundaries
+    resolve through sorted_map_groups' raw-row residue — bounded by
+    per-user matching-event counts (no finite mergeable summary exists
+    for progressive matching, so shipping the straddling user's rows IS
+    the standard distributed-funnel plan)."""
+    from .agg import sorted_map_groups
+
+    def block_fn(tbl: pa.Table) -> pa.Table:
+        return funnel_block(tbl, steps, user_col=user_col,
+                            ts_col=ts_col, type_col=type_col)
+
+    return sorted_map_groups(ds, [user_col], block_fn)

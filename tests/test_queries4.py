@@ -144,6 +144,49 @@ def test_funnel_matches_pandas(ray_session):
     assert (got >= 1).any()
 
 
+def test_funnel_block_property():
+    """funnel_block vs a per-user brute force over random streams,
+    including duplicate timestamps and repeated step events."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from karta_ray.stages.session import funnel_block
+
+    steps = ("a", "b", "c")
+    ev = st.tuples(st.integers(0, 4),        # user
+                   st.integers(0, 20),       # ts (coarse: forced ties)
+                   st.sampled_from(["a", "b", "c", "x"]))
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(ev, min_size=0, max_size=60))
+    def run(rows):
+        rows = sorted(rows)  # user-sorted (ts order within user: sorted
+        # too, but funnel_block's min-based math is order-insensitive)
+        tbl = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+        })
+        got = funnel_block(tbl, steps)
+        got_d = dict(zip(got.column("user_id").to_pylist(),
+                         got.column("steps_reached").to_pylist()))
+        want = {}
+        for uid in sorted({r[0] for r in rows}):
+            mine = [(t, e) for u, t, e in rows if u == uid]
+            thr, n = -1_000_000, 0
+            for s in steps:
+                cand = [t for t, e in mine if e == s and t > thr]
+                if not cand:
+                    break
+                thr = min(cand)
+                n += 1
+            want[uid] = n
+        assert got_d == want
+
+    run()
+
+
 # ---------------------------------------------------------------------------
 # star join
 # ---------------------------------------------------------------------------
@@ -177,8 +220,7 @@ def test_funnel_user_straddling_blocks(ray_session):
     import ray.data
 
     from karta_ray.pipelines.queries4 import FUNNEL_STEPS
-    from karta_ray.stages.agg import group_runs, sorted_map_groups
-    import pyarrow.compute as pc
+    from karta_ray.stages.session import funnel_steps
 
     # 4 blocks; user 7 appears in all of them, and the funnel's 'click'
     # only occurs after its 'view' in a DIFFERENT block
@@ -196,32 +238,7 @@ def test_funnel_user_straddling_blocks(ray_session):
         "event_type": pa.array(df["event_type"], pa.string()),
     })
     ds = ray.data.from_arrow(tbl).repartition(4)
-
-    from karta_ray.pipelines import queries4 as q4
-
-    def block_fn(t):
-        if t.num_rows == 0:
-            return pa.table({"user_id": pa.array([], pa.int64()),
-                             "steps_reached": pa.array([], pa.int64())})
-        starts, _ = group_runs(t, ["user_id"])
-        uid = t.column("user_id").to_numpy()
-        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        run_lens = np.append(starts[1:], t.num_rows) - starts
-        run_idx = np.repeat(np.arange(len(starts)), run_lens)
-        thr = np.full(len(starts), q4._I64_MIN)
-        steps = np.zeros(len(starts), np.int64)
-        for step in FUNNEL_STEPS:
-            is_step = pc.equal(t.column("event_type"),
-                               pa.scalar(step)).to_numpy(zero_copy_only=False)
-            cand = np.where(is_step & (ts > thr[run_idx]), ts, q4._I64_MAX)
-            m = np.minimum.reduceat(cand, starts)
-            reached = m < q4._I64_MAX
-            steps += reached
-            thr = np.where(reached, m, q4._I64_MAX)
-        return pa.table({"user_id": pa.array(uid[starts], pa.int64()),
-                         "steps_reached": pa.array(steps, pa.int64())})
-
-    out = sorted_map_groups(ds, ["user_id"], block_fn).to_pandas()
+    out = funnel_steps(ds, FUNNEL_STEPS).to_pandas()
     out = out.set_index("user_id")["steps_reached"]
     assert out.loc[7] == 3  # view -> click -> purchase across blocks
     for b in range(4):

@@ -2076,6 +2076,9 @@ def q_jsonl_roundtrip(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "lang", "n_chars"])
+    # driver-local scratch: single-node assumption (bench/test harness
+    # only). On a multi-node cluster the round-trip root must live on
+    # shared storage so read_json tasks on other nodes see the files.
     out = tempfile.mkdtemp(prefix="karta_jsonl_")
     try:
         ds.write_json(out)

@@ -422,6 +422,9 @@ def q_csv_roundtrip(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "user_id",
                                         "event_type"])
+    # driver-local scratch: single-node assumption (bench/test harness
+    # only). On a multi-node cluster the round-trip root must live on
+    # shared storage so read_csv tasks on other nodes see the files.
     out = tempfile.mkdtemp(prefix="karta_csv_")
     try:
         ds.write_csv(out)

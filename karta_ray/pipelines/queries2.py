@@ -1546,24 +1546,23 @@ def q_rolling_purchases(sf_dir: str):
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "ts", "user_id",
                                         "event_type", "value"])
-    left = ev.map_batches(
-        lambda b: b.filter(pc.not_equal(b.column("event_type"),
-                                        "purchase"))
-                   .select(["event_id", "ts", "user_id"]),
-        batch_format="pyarrow", zero_copy_batch=True)
 
-    def rights(b: pa.Table) -> pa.Table:
-        p = b.filter(pc.equal(b.column("event_type"), "purchase"))
+    # both sides are sub-streams of ONE source: split in a single scan
+    def split(b: pa.Table):
+        is_p = pc.equal(b.column("event_type"), "purchase")
+        lb = b.filter(pc.invert(is_p)).select(["event_id", "ts",
+                                               "user_id"])
+        p = b.filter(is_p)
         cents = np.round(p.column("value").to_numpy(zero_copy_only=False)
                          * 100.0).astype(np.int64)
-        return pa.table({"ts": p.column("ts"),
-                         "user_id": p.column("user_id"),
-                         "cents": pa.array(cents)})
+        rb = pa.table({"ts": p.column("ts"),
+                       "user_id": p.column("user_id"),
+                       "cents": pa.array(cents)})
+        return lb, rb
 
-    right = ev.map_batches(rights, batch_format="pyarrow",
-                           zero_copy_batch=True)
-    out = band_agg(left, right, key="user_id", on="ts", band=BAND_US,
-                   left_cols=["event_id"], agg_cols=["cents"])
+    out = band_agg(ev, None, key="user_id", on="ts", band=BAND_US,
+                   left_cols=["event_id"], agg_cols=["cents"],
+                   split_fn=split)
     return out.map_batches(
         lambda b: b.rename_columns(
             ["event_id", "user_id", "ts_us", "n_band", "sum_cents"]),

@@ -155,11 +155,20 @@ def band_join(left, right, *, key: str, on: str, band: int,
 
 
 def band_agg(left, right, *, key: str, on: str, band: int,
-             left_cols: list, agg_cols: list):
+             left_cols: list, agg_cols: list, split_fn=None):
     """Rolling-window aggregate: for EVERY left row, the count and the
     int64 sums of ``agg_cols`` over right rows with equal ``key`` and
     ``left.on - band <= right.on <= left.on`` — the sliding-window
     variant of :func:`band_join` that never materializes pairs.
+
+    ``split_fn``: when both sides derive from ONE dataset (e.g. event
+    sub-streams of one table), pass the single source as ``left``
+    (``right=None``) and ``split_fn(batch) -> (left_batch,
+    right_batch)`` returning the two prepared sides; the source is then
+    scanned ONCE and both sides tagged in the same task (same
+    single-scan trade as the self-asof join). ``left_batch`` must carry
+    ``key``/``on``/``left_cols``; ``right_batch`` ``key``/``on``/
+    ``agg_cols``.
 
     Same bucket-replication shuffle (|L| + 2 |R| rows moved once), but
     the per-block body answers each left with two ``searchsorted``
@@ -178,6 +187,8 @@ def band_agg(left, right, *, key: str, on: str, band: int,
     sum_names = [f"sum_{c}" for c in agg_cols]
     out_names = list(left_cols) + [key, on, "n_band"] + sum_names
 
+    # with split_fn the source must already carry left_cols (derived
+    # agg cols are fine: they are int64 by contract)
     left_types = {c: left.schema().base_schema.field(c).type
                   for c in left_cols}
 
@@ -211,10 +222,21 @@ def band_agg(left, right, *, key: str, on: str, band: int,
             cols[c] = rep.column(c)
         return pa.table(cols)
 
-    both = (left.map_batches(tag_left, batch_format="pyarrow",
-                             zero_copy_batch=True)
-            .union(right.map_batches(tag_right, batch_format="pyarrow",
-                                     zero_copy_batch=True)))
+    if split_fn is not None:
+        assert right is None, "split_fn mode takes one source dataset"
+
+        def tag_both(batch: pa.Table) -> pa.Table:
+            lb, rb = split_fn(batch)
+            return pa.concat_tables([tag_left(lb), tag_right(rb)])
+
+        both = left.map_batches(tag_both, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    else:
+        both = (left.map_batches(tag_left, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+                .union(right.map_batches(tag_right,
+                                         batch_format="pyarrow",
+                                         zero_copy_batch=True)))
 
     shift = np.int64(1)
     while shift < 2 * band + 2:

@@ -141,3 +141,43 @@ class TestBandAgg:
                .reset_index(drop=True))
         assert got["n_band"].tolist() == [n, 0]
         assert got["sum_cents"].tolist() == [int(rts.sum() * 3), 0]
+
+    def test_split_fn_single_scan_parity(self, ray_session):
+        # one source tagged by a type column: split mode must equal
+        # the two-dataset mode row for row
+        import pyarrow.compute as pc
+        import ray
+
+        from karta_ray.stages.rangejoin import band_agg
+
+        rng = np.random.RandomState(3)
+        n = 3000
+        tbl = pa.table({
+            "user_id": rng.randint(0, 20, n).astype(np.int64),
+            "ts": rng.randint(0, 10**6, n).astype(np.int64),
+            "event_id": np.arange(n, dtype=np.int64),
+            "kind": rng.choice(["l", "r"], n),
+            "cents": rng.randint(0, 1000, n).astype(np.int64),
+        })
+        src = ray.data.from_arrow(tbl).repartition(7)
+
+        def split(b):
+            is_r = pc.equal(b.column("kind"), "r")
+            lb = b.filter(pc.invert(is_r)).select(
+                ["event_id", "ts", "user_id"])
+            rb = b.filter(is_r).select(["ts", "user_id", "cents"])
+            return lb, rb
+
+        got = band_agg(src, None, key="user_id", on="ts", band=50_000,
+                       left_cols=["event_id"], agg_cols=["cents"],
+                       split_fn=split).to_pandas()
+        left = src.map_batches(lambda b: split(b)[0],
+                               batch_format="pyarrow")
+        right = src.map_batches(lambda b: split(b)[1],
+                                batch_format="pyarrow")
+        want = band_agg(left, right, key="user_id", on="ts",
+                        band=50_000, left_cols=["event_id"],
+                        agg_cols=["cents"]).to_pandas()
+        got = got.sort_values("event_id").reset_index(drop=True)
+        want = want.sort_values("event_id").reset_index(drop=True)
+        assert got.equals(want)

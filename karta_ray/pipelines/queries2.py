@@ -1484,19 +1484,20 @@ def q_band_join(sf_dir: str):
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "ts", "user_id",
                                         "event_type", "value"])
-    left = ev.map_batches(
-        lambda b: b.filter(pc.not_equal(b.column("event_type"),
-                                        "purchase"))
-                   .select(["event_id", "ts", "user_id"]),
-        batch_format="pyarrow", zero_copy_batch=True)
-    right = ev.map_batches(
-        lambda b: b.filter(pc.equal(b.column("event_type"), "purchase"))
-                   .select(["event_id", "ts", "user_id", "value"]),
-        batch_format="pyarrow", zero_copy_batch=True)
-    joined = band_join(left, right, key="user_id", on="ts",
+
+    def split(b: pa.Table):
+        is_p = pc.equal(b.column("event_type"), "purchase")
+        lb = b.filter(pc.invert(is_p)).select(["event_id", "ts",
+                                               "user_id"])
+        rb = b.filter(is_p).select(["event_id", "ts", "user_id",
+                                    "value"])
+        return lb, rb
+
+    joined = band_join(ev, None, key="user_id", on="ts",
                        band=BAND_US,
                        left_cols=["event_id"],
-                       right_cols=["event_id", "value"])
+                       right_cols=["event_id", "value"],
+                       split_fn=split)
 
     def finish(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").to_numpy()

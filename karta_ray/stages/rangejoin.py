@@ -40,21 +40,27 @@ def _np_i64(arr: pa.ChunkedArray) -> np.ndarray:
 
 
 def band_join(left, right, *, key: str, on: str, band: int,
-              left_cols: list, right_cols: list):
+              left_cols: list, right_cols: list, split_fn=None):
     """Inner band join: every (left, right) pair with equal ``key`` and
     ``left.on - band <= right.on <= left.on``.
 
     Returns ``left_cols + [key, on, "r_" + on] + ["r_" + c for c in
     right_cols]`` with ``on``/``r_on`` as int64 (microseconds for
     timestamp input).
+
+    ``split_fn``: single-scan mode — see :func:`band_agg`. The source
+    (passed as ``left``, ``right=None``) must carry both sides'
+    columns.
     """
     r_on = f"r_{on}"
     r_cols = [f"r_{c}" for c in right_cols]
     out_names = list(left_cols) + [key, on, r_on] + r_cols
 
-    left_types = {c: left.schema().base_schema.field(c).type
-                  for c in left_cols}
-    right_types = {f"r_{c}": right.schema().base_schema.field(c).type
+    src_schema = left.schema().base_schema
+    left_types = {c: src_schema.field(c).type for c in left_cols}
+    right_schema = (src_schema if split_fn is not None
+                    else right.schema().base_schema)
+    right_types = {f"r_{c}": right_schema.field(c).type
                    for c in right_cols}
 
     def tag_left(batch: pa.Table) -> pa.Table:
@@ -87,10 +93,21 @@ def band_join(left, right, *, key: str, on: str, band: int,
             cols[c] = rep.column(src)
         return pa.table(cols)
 
-    both = (left.map_batches(tag_left, batch_format="pyarrow",
-                             zero_copy_batch=True)
-            .union(right.map_batches(tag_right, batch_format="pyarrow",
-                                     zero_copy_batch=True)))
+    if split_fn is not None:
+        assert right is None, "split_fn mode takes one source dataset"
+
+        def tag_both(batch: pa.Table) -> pa.Table:
+            lb, rb = split_fn(batch)
+            return pa.concat_tables([tag_left(lb), tag_right(rb)])
+
+        both = left.map_batches(tag_both, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    else:
+        both = (left.map_batches(tag_left, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+                .union(right.map_batches(tag_right,
+                                         batch_format="pyarrow",
+                                         zero_copy_batch=True)))
 
     shift = np.int64(1)
     while shift < 2 * band + 2:

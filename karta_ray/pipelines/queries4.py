@@ -463,6 +463,125 @@ FROM events GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# 6. Curation pipeline: the canonical chained corpus-prep flow in ONE
+# query — exact dedup (keep min doc_id per text) -> per-language
+# median length filter over the SURVIVORS -> deterministic 50% hash
+# sample -> per-language token stats. Every stage is a distributed
+# primitive the suite already certifies; chaining them end-to-end is
+# the real-world shape and the SQL oracle mirrors each stage as a CTE.
+#
+# Scale notes: dedup keys are 128-bit text hashes (collision-free in
+# practice; the shuffle ships ~40 B/doc of metadata, never the text);
+# the deduped slim table is materialized once because the median
+# filter needs a full pass before filtering can begin (two-pass by
+# nature — the alternative is recomputing the dedup shuffle, which
+# costs more than spilling 40 B/doc).
+# ---------------------------------------------------------------------------
+
+CURATION_SAMPLE_RATE = 0.5
+
+
+def q_curation_pipeline(sf_dir: str):
+    import ray
+    import ray.data
+
+    from ..functions.text import hash_column_u64, md5_u64
+    from ..stages.agg import group_runs, sorted_map_groups, tree_sum
+    from ..stages.quantile import grouped_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang",
+                                        "n_chars"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        h1 = hash_column_u64(text).view(np.int64)
+        # independent second hash (sentinel suffix): 128 collision bits
+        h2 = hash_column_u64(
+            pc.binary_join_element_wise(pc.cast(text, pa.string()),
+                                        "\x01s", "")).view(np.int64)
+        total_len = pc.utf8_length(text)
+        no_space = pc.replace_substring(text, " ", "")
+        spaces = pc.subtract(total_len, pc.utf8_length(no_space))
+        return pa.table({
+            "h1": pa.array(h1), "h2": pa.array(h2),
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "n_chars": pc.cast(batch.column("n_chars"), pa.int64()),
+            "tokens": pc.cast(pc.add(spaces, 1), pa.int64()),
+        })
+
+    slim = ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def keep_min(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        starts, _ends = group_runs(tbl, ["h1", "h2"])
+        mask = np.zeros(tbl.num_rows, dtype=bool)
+        mask[starts] = True  # doc_id asc in sort -> first row = min id
+        return tbl.filter(pa.array(mask))
+
+    deduped = sorted_map_groups(slim, ["h1", "h2"], keep_min,
+                                pre_reduce=keep_min,
+                                sort_keys=["h1", "h2", "doc_id"]
+                                ).materialize()
+
+    med = grouped_quantiles(deduped.select_columns(["lang", "n_chars"]),
+                            ["lang"], "n_chars", [50])
+    thr = {r["lang"]: r["p50"] for r in med.take_all()}
+    thr_ref = ray.put(thr)
+    t_sample = np.uint64(int(CURATION_SAMPLE_RATE * (1 << 64)))
+
+    def keep(batch: pa.Table, *, ref=thr_ref) -> pa.Table:
+        t = ray.get(ref) if not isinstance(ref, dict) else ref
+        langs = batch.column("lang").to_pylist()
+        n = batch.column("n_chars").to_numpy()
+        lim = np.fromiter((t[l] for l in langs), dtype=np.int64,
+                          count=len(langs))
+        ids = batch.column("doc_id").to_pylist()
+        hv = md5_u64([str(i).encode() for i in ids])
+        return batch.filter(pa.array((n >= lim) & (hv < t_sample)))
+
+    kept = deduped.map_batches(keep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "lang": batch.column("lang"),
+            "n_docs": pa.array(np.ones(batch.num_rows, np.int64)),
+            "sum_tokens": batch.column("tokens"),
+        })
+        g = t.group_by(["lang"]).aggregate(
+            [("n_docs", "sum"), ("sum_tokens", "sum")])
+        return g.rename_columns(["lang", "n_docs", "sum_tokens"])
+
+    return tree_sum(kept.map_batches(partial, batch_format="pyarrow"),
+                    ["lang"], ["n_docs", "sum_tokens"])
+
+
+def _curation_sql() -> str:
+    t = int(CURATION_SAMPLE_RATE * (1 << 64))
+    return f"""
+WITH dd AS (
+  SELECT doc_id, lang, n_chars, text,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents),
+d AS (SELECT doc_id, lang, n_chars, text FROM dd WHERE rn = 1),
+q AS (SELECT doc_id, lang, n_chars, text,
+             quantile_disc(n_chars, 0.5) OVER (PARTITION BY lang) AS med
+      FROM d),
+f AS (SELECT * FROM q
+      WHERE n_chars >= med
+        AND md5_number_lower(CAST(doc_id AS VARCHAR)) < {t}::HUGEINT)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+            AS BIGINT) AS sum_tokens
+FROM f GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -474,6 +593,7 @@ def new_queries4() -> dict:
         "funnel": q_funnel,
         "star_join": q_star_join,
         "csv_roundtrip": q_csv_roundtrip,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -484,4 +604,5 @@ def new_oracle_sqls4() -> dict:
         "funnel": _funnel_sql(),
         "star_join": _STAR_SQL,
         "csv_roundtrip": _CSV_ROUNDTRIP_SQL,
+        "curation_pipeline": _curation_sql(),
     }

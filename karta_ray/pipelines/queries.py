@@ -132,9 +132,28 @@ def _edges_sql_values() -> str:
 # replicated exactly (sign-preserving fmod, then +360 only when
 # negative — the same op sequence numpy's np.mod performs, so the
 # result is bit-identical).
-_M = "(((p.lon - 180.0) + 180.0) % 360.0)"
-_UNROLL_SQL = (f"180.0 + ((CASE WHEN {_M} >= 0 THEN {_M} "
-               f"ELSE {_M} + 360.0 END) - 180.0)")
+
+
+def unroll_sql(lon_expr: str) -> str:
+    """The dateline-frame unroll, parameterized on the lon column
+    expression (shared by every PIP oracle so the mirror math can
+    never diverge between queries)."""
+    m = f"((({lon_expr}) - 180.0) + 180.0) % 360.0"
+    return (f"180.0 + ((CASE WHEN {m} >= 0 THEN {m} "
+            f"ELSE {m} + 360.0 END) - 180.0)")
+
+
+# the exact winding-rule CASE (edge asymmetry identical to
+# kernels/predicates.py winding_number) — shared constant for the
+# same no-divergence reason
+WINDING_CASE_SQL = """SUM(CASE
+             WHEN y0 <= py AND py < y1
+                  AND (x1-x0)*(py-y0) - (px-x0)*(y1-y0) > 0 THEN 1
+             WHEN y0 > py AND py >= y1
+                  AND (x1-x0)*(py-y0) - (px-x0)*(y1-y0) < 0 THEN -1
+             ELSE 0 END)"""
+
+_UNROLL_SQL = unroll_sql("p.lon")
 
 # (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem;
 # the join result is a multiset of rows, so the oracle's winding sum
@@ -156,12 +175,7 @@ wn AS (
          ANY_VALUE(l_orderkey) AS l_orderkey,
          ANY_VALUE(l_linenumber) AS l_linenumber,
          ANY_VALUE(l_quantity) AS l_quantity,
-         SUM(CASE
-             WHEN y0 <= py AND py < y1
-                  AND (x1-x0)*(py-y0) - (px-x0)*(y1-y0) > 0 THEN 1
-             WHEN y0 > py AND py >= y1
-                  AND (x1-x0)*(py-y0) - (px-x0)*(y1-y0) < 0 THEN -1
-             ELSE 0 END) AS w
+         {WINDING_CASE_SQL} AS w
   FROM pe GROUP BY rid, poly_id)
 SELECT l_orderkey, l_linenumber, poly_id, l_quantity FROM wn WHERE w <> 0
 """

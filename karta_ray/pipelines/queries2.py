@@ -2178,10 +2178,9 @@ def q_lang_centroids(sf_dir: str):
                           "n": pa.array([], pa.int64())})
         if tbl.num_rows == 0:
             return empty
-        starts, _ends = group_runs(tbl, ["key"])
+        starts, ends = group_runs(tbl, ["key"])
         side = tbl.column("side").to_numpy()
-        run_lens = np.append(starts[1:], tbl.num_rows) - starts
-        valid = (run_lens == 2) & (side[starts] == 0)
+        valid = (ends - starts == 2) & (side[starts] == 0)
         if not valid.any():
             return empty
         langs = tbl.column("lang").take(

@@ -106,23 +106,8 @@ def q_zonal_stats(sf_dir: str):
     return out.map_batches(finalize, batch_format="pyarrow")
 
 
-# the dateline unroll, parameterized on the lon expression (mirrors
-# queries._UNROLL_SQL, which hard-codes the pts alias)
-def _unroll_sql(lon_expr: str) -> str:
-    m = f"((({lon_expr}) - 180.0) + 180.0) % 360.0"
-    return (f"180.0 + ((CASE WHEN {m} >= 0 THEN {m} "
-            f"ELSE {m} + 360.0 END) - 180.0)")
-
-
-_WINDING_CASE = """SUM(CASE
-             WHEN y0 <= py AND py < y1
-                  AND (x1-x0)*(py-y0) - (px-x0)*(y1-y0) > 0 THEN 1
-             WHEN y0 > py AND py >= y1
-                  AND (x1-x0)*(py-y0) - (px-x0)*(y1-y0) < 0 THEN -1
-             ELSE 0 END)"""
-
-
 def _zonal_sql() -> str:
+    from .queries import WINDING_CASE_SQL, unroll_sql
     ny, nx = GRID_SHAPE
     x0, y0, dx, dy = GRID_T[0], GRID_T[1], GRID_T[2], GRID_T[3]
     return f"""
@@ -136,12 +121,12 @@ edges(poly_id, frame, x0, y0, x1, y1) AS (VALUES
     {_edges_sql_values()}),
 pe AS (
   SELECT c.gi, c.gj, c.v, e.poly_id,
-         CASE WHEN e.frame = 1 THEN {_unroll_sql('c.lon')}
+         CASE WHEN e.frame = 1 THEN {unroll_sql('c.lon')}
               ELSE c.lon END AS px,
          c.lat AS py, e.x0, e.y0, e.x1, e.y1
   FROM cells c CROSS JOIN edges e),
 wn AS (
-  SELECT gi, gj, poly_id, ANY_VALUE(v) AS v, {_WINDING_CASE} AS w
+  SELECT gi, gj, poly_id, ANY_VALUE(v) AS v, {WINDING_CASE_SQL} AS w
   FROM pe GROUP BY gi, gj, poly_id)
 SELECT poly_id, COUNT(*) AS n_cells,
        CAST(SUM(v) AS BIGINT) AS sum_value,
@@ -184,7 +169,11 @@ def q_tile_pyramid(sf_dir: str):
             ns.append(n)
             parent = ((uniq >> 29) >> 1) << 29 | ((uniq & ((1 << 29) - 1)) >> 1)
             uniq, inv = np.unique(parent, return_inverse=True)
-            n = np.bincount(inv, weights=n).astype(np.int64)
+            # int64 accumulator (bincount weights go through float64
+            # and would lose exactness above 2^53)
+            acc = np.zeros(len(uniq), np.int64)
+            np.add.at(acc, inv, n)
+            n = acc
         return pa.table({
             "zoom": pa.array(np.concatenate(zs), pa.int64()),
             "tile_x": pa.array(np.concatenate(xs), pa.int64()),
@@ -303,9 +292,14 @@ def q_star_join(sf_dir: str):
     def orders_side(batch: pa.Table, *, ref) -> pa.Table:
         cks, nks = ray.get(ref)
         q = batch.column("o_custkey").to_numpy()
-        idx = np.searchsorted(cks, q)
-        idx_c = np.minimum(idx, len(cks) - 1)
-        ok = cks[idx_c] == q
+        if len(cks) == 0:  # empty dimension -> empty inner join
+            ok = np.zeros(len(q), dtype=bool)
+            idx_c = np.zeros(len(q), dtype=np.int64)
+            nks = np.zeros(1, dtype=np.int64)
+        else:
+            idx = np.searchsorted(cks, q)
+            idx_c = np.minimum(idx, len(cks) - 1)
+            ok = cks[idx_c] == q
         n = int(ok.sum())
         return pa.table({
             "okey": pa.array(

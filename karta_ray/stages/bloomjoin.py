@@ -223,10 +223,9 @@ def _verify_filter(survivors, rkeys, key: str, left_schema: pa.Schema,
     def block_fn(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
             return tbl.select(out_cols)
-        starts, _ends = group_runs(tbl, [key])
+        starts, ends = group_runs(tbl, [key])
         side = tbl.column("__side").to_numpy()
-        run_lens = np.append(starts[1:], tbl.num_rows) - starts
-        run_idx = np.repeat(np.arange(len(starts)), run_lens)
+        run_idx = np.repeat(np.arange(len(starts)), ends - starts)
         has_right = side[starts] == 0  # right rows sort first in a run
         want = (has_right[run_idx] == keep_matched) & (side == 1)
         return tbl.filter(pa.array(want)).select(out_cols)

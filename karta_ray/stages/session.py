@@ -158,11 +158,10 @@ def funnel_block(tbl: pa.Table, steps, *, user_col: str = "user_id",
     if tbl.num_rows == 0:
         return pa.table({user_col: pa.array([], pa.int64()),
                          "steps_reached": pa.array([], pa.int64())})
-    starts, _ends = group_runs(tbl, [user_col])
+    starts, ends = group_runs(tbl, [user_col])
     uid = tbl.column(user_col).to_numpy()
     ts = tbl.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
-    run_lens = np.append(starts[1:], tbl.num_rows) - starts
-    run_idx = np.repeat(np.arange(len(starts)), run_lens)
+    run_idx = np.repeat(np.arange(len(starts)), ends - starts)
     thr = np.full(len(starts), _I64_MIN)
     reached_steps = np.zeros(len(starts), np.int64)
     for step in steps:

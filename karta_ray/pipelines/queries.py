@@ -611,9 +611,31 @@ def q_grid_sample(sf_dir: str):
 
 NGRAM_TAU = 0.7
 NGRAM_MAX_DF = 50
+NGRAM_DF_DENOM = 200  # df cap = max(NGRAM_MAX_DF, n_docs // 200)
 ANN_K = 10
 ANN_NQUERIES = 5
 NEARDUP_TAU = 0.42
+
+
+def _dataset_or_empty_table(ds):
+    """Ray's ``to_pandas()`` on an all-empty Dataset drops the columns,
+    which a schema compare reads as a mismatch even when both sides
+    legitimately have 0 rows; hand back a TYPED empty Arrow table
+    instead."""
+    ds = ds.materialize()
+    if ds.count() == 0:
+        return ds.schema().base_schema.empty_table()
+    return ds
+
+
+def ngram_df_cap(n_docs: int) -> int:
+    """Rare-shingle document-frequency cap, scaled with corpus size:
+    a FIXED absolute cap silently empties the op as the corpus grows
+    (every shingle's df grows with n_docs, so at 10x the data nothing
+    is 'rare' anymore). Floor of NGRAM_MAX_DF keeps small-corpus
+    behavior identical; the SQL oracle computes the same expression
+    from COUNT(*)."""
+    return max(NGRAM_MAX_DF, n_docs // NGRAM_DF_DENOM)
 
 
 def q_ngram_jaccard(sf_dir: str):
@@ -626,7 +648,9 @@ def q_ngram_jaccard(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"],
                                override_num_blocks=32)
-    return ngram_jaccard_pairs(ds, threshold=NGRAM_TAU, max_df=NGRAM_MAX_DF)
+    max_df = ngram_df_cap(ds.count())  # parquet metadata — cheap
+    return _dataset_or_empty_table(
+        ngram_jaccard_pairs(ds, threshold=NGRAM_TAU, max_df=max_df))
 
 
 def q_minhash_lsh(sf_dir: str):
@@ -1129,7 +1153,9 @@ WITH g0 AS (
                  ELSE [substr(text, g, 3) FOR g IN range(1, length(text)-1)]
                END) AS sh
         FROM documents)),
-rare AS (SELECT sh FROM g0 GROUP BY sh HAVING COUNT(*) <= {NGRAM_MAX_DF}),
+rare AS (SELECT sh FROM g0 GROUP BY sh
+         HAVING COUNT(*) <= GREATEST({NGRAM_MAX_DF},
+             (SELECT COUNT(*) FROM documents) // {NGRAM_DF_DENOM})),
 g AS (SELECT g0.doc_id, g0.sh FROM g0 JOIN rare USING (sh)),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
 shared AS (

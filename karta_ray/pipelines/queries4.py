@@ -576,6 +576,76 @@ FROM f GROUP BY lang
 
 
 # ---------------------------------------------------------------------------
+# 7. Pole-safe spherical cell index (S2-style cube faces + Morton):
+# Web-Mercator tiles (tile_assign) degenerate toward the poles and cut
+# off |lat| > 85; a global / polar corpus indexes on the cube-face
+# cells instead (kernels/scells.py). Same assignment contract as
+# tile_assign; the SQL mirrors face selection, gnomonic u/v, the
+# quantize clamp and the bit interleave exactly.
+# ---------------------------------------------------------------------------
+
+SCELL_LEVEL = 12
+
+
+def q_cell_index(sf_dir: str):
+    from ..kernels import scells
+
+    ds = points_ds(sf_dir)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        face, u, v = scells.face_uv(lon, lat)
+        i, j = scells.quantize(u, v, SCELL_LEVEL)
+        cell = (face << np.int64(2 * SCELL_LEVEL)) | scells.morton(i, j)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "l_linenumber": batch.column("l_linenumber"),
+            "s_face": pa.array(face, pa.int64()),
+            "s_i": pa.array(i, pa.int64()),
+            "s_j": pa.array(j, pa.int64()),
+            "s_cell": pa.array(cell, pa.int64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _cell_index_sql() -> str:
+    from ..kernels.scells import morton_sql
+
+    n = 1 << SCELL_LEVEL
+    q = (f"LEAST(GREATEST(CAST(floor(((%s + 1.0) * 0.5) * {float(n)!r}) "
+         f"AS BIGINT), 0), {n - 1})")
+    return f"""
+WITH pts AS ({PTS_SQL}),
+s AS (SELECT l_orderkey, l_linenumber,
+             cos(lat*pi()/180)*cos(lon*pi()/180) AS x,
+             cos(lat*pi()/180)*sin(lon*pi()/180) AS y,
+             sin(lat*pi()/180) AS z
+      FROM pts),
+f AS (SELECT l_orderkey, l_linenumber,
+  CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+            THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
+       WHEN abs(y) >= abs(z) THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END
+       ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END END AS face,
+  CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN y / x
+       WHEN abs(y) >= abs(z) THEN -x / y ELSE x / z END AS u,
+  CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN z / x
+       WHEN abs(y) >= abs(z) THEN z / y ELSE y / z END AS v
+  FROM s),
+g AS (SELECT l_orderkey, l_linenumber, face,
+             {q % 'u'} AS ci, {q % 'v'} AS cj
+      FROM f)
+SELECT l_orderkey, l_linenumber,
+       CAST(face AS BIGINT) AS s_face, ci AS s_i, cj AS s_j,
+       CAST(face * {1 << (2 * SCELL_LEVEL)}
+            + {morton_sql('ci', 'cj', SCELL_LEVEL)} AS BIGINT) AS s_cell
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -588,6 +658,7 @@ def new_queries4() -> dict:
         "star_join": q_star_join,
         "csv_roundtrip": q_csv_roundtrip,
         "curation_pipeline": q_curation_pipeline,
+        "cell_index": q_cell_index,
     }
 
 
@@ -599,4 +670,5 @@ def new_oracle_sqls4() -> dict:
         "star_join": _STAR_SQL,
         "csv_roundtrip": _CSV_ROUNDTRIP_SQL,
         "curation_pipeline": _curation_sql(),
+        "cell_index": _cell_index_sql(),
     }

@@ -48,7 +48,10 @@ def face_uv(lon, lat):
                              np.where(z >= 0, 2, 5))).astype(np.int64)
     # per-face (u, v): forward axes chosen so each face is right-handed
     # looking at the sphere from outside; mirrored verbatim in SQL
-    with np.errstate(divide="ignore", invalid="ignore"):
+    # over='ignore': the MASKED-OUT branches of the np.where divide by
+    # near-zero components (subnormal coords overflow to inf before
+    # being discarded)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         u = np.where(is_x, y / x,
                      np.where(is_y, -x / y, x / z))
         v = np.where(is_x, z / x,
@@ -87,11 +90,19 @@ def morton(i: np.ndarray, j: np.ndarray) -> np.ndarray:
             | _part1by1(np.asarray(j, dtype=np.int64))).astype(np.int64)
 
 
+def compose(face: np.ndarray, i: np.ndarray, j: np.ndarray,
+            level: int) -> np.ndarray:
+    """The single owner of the id bit layout:
+    ``face << (2 level) | morton(i, j)``."""
+    return (np.asarray(face, dtype=np.int64) << np.int64(2 * level)) \
+        | morton(i, j)
+
+
 def cell_id(lon, lat, level: int) -> np.ndarray:
     """Pole-safe spherical cell id at ``level``."""
     face, u, v = face_uv(lon, lat)
     i, j = quantize(u, v, level)
-    return (face << np.int64(2 * level)) | morton(i, j)
+    return compose(face, i, j, level)
 
 
 def parent_cell(cell: np.ndarray, level: int) -> np.ndarray:
@@ -107,6 +118,8 @@ def morton_sql(i_expr: str, j_expr: str, level: int) -> str:
     """DuckDB expression mirroring :func:`morton` bit for bit: the sum
     of shifted bit tests, generated per level (no 64-bit intrinsics
     needed)."""
+    if level <= 0:
+        return "0"
     terms = []
     for b in range(level):
         terms.append(f"((({i_expr}) >> {b}) & 1) * {1 << (2 * b + 1)}")

@@ -611,7 +611,8 @@ def q_grid_sample(sf_dir: str):
 
 NGRAM_TAU = 0.7
 NGRAM_MAX_DF = 50
-NGRAM_DF_DENOM = 200  # df cap = max(NGRAM_MAX_DF, n_docs // 200)
+NGRAM_DF_DENOM = 200  # df cap = min(1000, max(NGRAM_MAX_DF, n//200))
+NGRAM_DF_CEIL = 1000
 ANN_K = 10
 ANN_NQUERIES = 5
 NEARDUP_TAU = 0.42
@@ -629,13 +630,18 @@ def _dataset_or_empty_table(ds):
 
 
 def ngram_df_cap(n_docs: int) -> int:
-    """Rare-shingle document-frequency cap, scaled with corpus size:
-    a FIXED absolute cap silently empties the op as the corpus grows
-    (every shingle's df grows with n_docs, so at 10x the data nothing
-    is 'rare' anymore). Floor of NGRAM_MAX_DF keeps small-corpus
-    behavior identical; the SQL oracle computes the same expression
-    from COUNT(*)."""
-    return max(NGRAM_MAX_DF, n_docs // NGRAM_DF_DENOM)
+    """Rare-shingle document-frequency cap, scaled with corpus size
+    but BOUNDED above: a fixed absolute cap silently empties the op as
+    the corpus grows (every shingle's df grows with n_docs, so at 10x
+    the data nothing is 'rare'), while an unbounded linear cap
+    reintroduces the quadratic pair blowup the cap exists to prevent
+    (a bucket at cap F emits F^2/2 pairs — F = n/200 at 16M docs is
+    80k, i.e. ~51 GB of pair indices in one task). min(1000, ...)
+    bounds any single bucket at ~500k pairs while still adapting
+    through the 10k-200k-doc range. Floor of NGRAM_MAX_DF keeps
+    small-corpus behavior identical; the SQL oracle computes the same
+    expression from COUNT(*)."""
+    return min(NGRAM_DF_CEIL, max(NGRAM_MAX_DF, n_docs // NGRAM_DF_DENOM))
 
 
 def q_ngram_jaccard(sf_dir: str):
@@ -1154,8 +1160,8 @@ WITH g0 AS (
                END) AS sh
         FROM documents)),
 rare AS (SELECT sh FROM g0 GROUP BY sh
-         HAVING COUNT(*) <= GREATEST({NGRAM_MAX_DF},
-             (SELECT COUNT(*) FROM documents) // {NGRAM_DF_DENOM})),
+         HAVING COUNT(*) <= LEAST({NGRAM_DF_CEIL}, GREATEST({NGRAM_MAX_DF},
+             (SELECT COUNT(*) FROM documents) // {NGRAM_DF_DENOM}))),
 g AS (SELECT g0.doc_id, g0.sh FROM g0 JOIN rare USING (sh)),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
 shared AS (

@@ -597,7 +597,7 @@ def q_cell_index(sf_dir: str):
         lat = batch.column("lat").to_numpy()
         face, u, v = scells.face_uv(lon, lat)
         i, j = scells.quantize(u, v, SCELL_LEVEL)
-        cell = (face << np.int64(2 * SCELL_LEVEL)) | scells.morton(i, j)
+        cell = scells.compose(face, i, j, SCELL_LEVEL)
         return pa.table({
             "l_orderkey": batch.column("l_orderkey"),
             "l_linenumber": batch.column("l_linenumber"),

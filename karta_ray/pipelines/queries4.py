@@ -646,6 +646,65 @@ FROM g
 
 
 # ---------------------------------------------------------------------------
+# 8. Spherical cell pyramid: per-cell counts at every level 0..L of
+# the cube-face index — tile_pyramid's exact analogue on the
+# pole-safe cells (parent = Morton code >> 2, face preserved), so the
+# rollup is pure integer shifting with structural SQL parity.
+# ---------------------------------------------------------------------------
+
+
+def q_cell_pyramid(sf_dir: str):
+    from ..kernels import scells
+    from ..stages.agg import tree_sum
+
+    L = SCELL_LEVEL
+    ds = points_ds(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        cell = scells.cell_id(lon, lat, L)
+        uniq, n = np.unique(cell, return_counts=True)
+        n = n.astype(np.int64)
+        levels, cells, counts = [], [], []
+        for lv in range(L, -1, -1):
+            levels.append(np.full(len(uniq), lv, np.int64))
+            cells.append(uniq)
+            counts.append(n)
+            if lv:
+                parent = scells.parent_cell(uniq, lv)
+                uniq, inv = np.unique(parent, return_inverse=True)
+                acc = np.zeros(len(uniq), np.int64)
+                np.add.at(acc, inv, n)
+                n = acc
+        return pa.table({
+            "level": pa.array(np.concatenate(levels), pa.int64()),
+            "s_cell": pa.array(np.concatenate(cells), pa.int64()),
+            "n_points": pa.array(np.concatenate(counts), pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return tree_sum(parts, ["level", "s_cell"], ["n_points"])
+
+
+def _cell_pyramid_sql() -> str:
+    L = SCELL_LEVEL
+    base = _cell_index_sql()
+    return f"""
+WITH cells AS ({base}),
+base AS (SELECT s_cell, COUNT(*) AS n FROM cells GROUP BY s_cell)
+SELECT CAST(z.lv AS BIGINT) AS level,
+       ((s_cell >> {2 * L}) << (2 * z.lv))
+         | ((s_cell & {(1 << (2 * L)) - 1}) >> (2 * ({L} - z.lv)))
+         AS s_cell,
+       CAST(SUM(n) AS BIGINT) AS n_points
+FROM base CROSS JOIN range({L + 1}) z(lv)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -659,6 +718,7 @@ def new_queries4() -> dict:
         "csv_roundtrip": q_csv_roundtrip,
         "curation_pipeline": q_curation_pipeline,
         "cell_index": q_cell_index,
+        "cell_pyramid": q_cell_pyramid,
     }
 
 
@@ -671,4 +731,5 @@ def new_oracle_sqls4() -> dict:
         "csv_roundtrip": _CSV_ROUNDTRIP_SQL,
         "curation_pipeline": _curation_sql(),
         "cell_index": _cell_index_sql(),
+        "cell_pyramid": _cell_pyramid_sql(),
     }

@@ -87,3 +87,26 @@ def test_cell_valid_range_property(lon, lat, level):
         par = int(scells.parent_cell(np.array([cell]), level)[0])
         assert par == int(scells.cell_id(np.array([lon]),
                                          np.array([lat]), level - 1)[0])
+
+
+def test_cell_pyramid_invariants(ray_session):
+    from karta_ray.pipelines.queries import points_ds
+    from karta_ray.pipelines.queries4 import SCELL_LEVEL, q_cell_pyramid
+
+    sf = "/root/testdata/sf0.001"
+    df = q_cell_pyramid(sf).to_pandas()
+    n_total = points_ds(sf).count()
+    per_level = df.groupby("level")["n_points"].sum()
+    assert set(per_level.index) == set(range(SCELL_LEVEL + 1))
+    assert (per_level == n_total).all()
+    # level 0: at most 6 face cells, ids are the face numbers
+    z0 = df[df["level"] == 0]
+    assert set(z0["s_cell"]).issubset(set(range(6)))
+    # children roll up to their parent exactly
+    lv = SCELL_LEVEL
+    ch = df[df["level"] == lv].copy()
+    ch["parent"] = scells.parent_cell(
+        ch["s_cell"].to_numpy(), lv)
+    rolled = ch.groupby("parent")["n_points"].sum()
+    par = df[df["level"] == lv - 1].set_index("s_cell")["n_points"]
+    assert rolled.sort_index().equals(par.sort_index())

@@ -122,6 +122,19 @@ def salted_count(ds, key_col: str, *, salts: int = 16,
 
     hot, _ = detect_hot_keys(ds, key_col, sample_fraction=sample_fraction,
                              bounded_cardinality=bounded_cardinality)
+
+    if len(hot) == 0:
+        # data-driven skip: with no hot keys every salt would be 0 and
+        # the salted sub-aggregate is a pure extra shuffle round —
+        # identical result from one combine
+        def partial0(batch: pa.Table) -> pa.Table:
+            g = (batch.select([key_col]).group_by([key_col])
+                 .aggregate([([], "count_all")]))
+            return g.rename_columns([key_col, "n"])
+
+        return tree_sum(ds.map_batches(partial0, batch_format="pyarrow"),
+                        [key_col], ["n"])
+
     salted = add_salt(ds, key_col, hot, salts=salts)
 
     def partial(batch: pa.Table) -> pa.Table:

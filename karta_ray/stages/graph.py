@@ -94,13 +94,49 @@ def _gather_block(batch: pa.Table) -> pa.Table:
         "changed", pa.compute.cast(changed, pa.int64()))
 
 
+def _local_cc_block(batch: pa.Table) -> pa.Table:
+    """Single-task label propagation over one adjacency block (both
+    edge directions present): min-label fixpoint with pointer jumping,
+    all numpy. Used by the small-input fast path."""
+    if batch.num_rows == 0:
+        return pa.table({"v": pa.array([], pa.int64()),
+                         "lbl": pa.array([], pa.int64())})
+    v = batch.column("v").to_numpy().astype(np.int64)
+    nbr = batch.column("nbr").to_numpy().astype(np.int64)
+    ids = np.unique(v)  # both directions present -> v covers endpoints
+    iv = np.searchsorted(ids, v)
+    inb = np.searchsorted(ids, nbr)
+    lbl = ids.copy()
+    while True:
+        prev = lbl
+        new = lbl.copy()
+        np.minimum.at(new, iv, lbl[inb])       # neighbor min
+        # pointer jump: labels are always vertex ids, so the lookup is
+        # exact; mixing partially-updated labels stays monotone
+        new = np.minimum(new, new[np.searchsorted(ids, new)])
+        lbl = new
+        if np.array_equal(lbl, prev):
+            break
+    return pa.table({"v": pa.array(ids), "lbl": pa.array(lbl)})
+
+
 def connected_components(edges, *, src: str = "a", dst: str = "b",
                          vertices=None, v_col: str = "v",
-                         max_iters: int = 50, verbose: bool = False):
+                         max_iters: int = 50, verbose: bool = False,
+                         small_input_rows: int = 500_000):
     """(v, cluster_id) for every vertex; cluster_id = min vertex id of
     its component. ``edges`` is a Dataset of undirected (src, dst)
     pairs; ``vertices`` optionally adds isolated vertices (Dataset
-    with column ``v_col``) which come out as their own singletons."""
+    with column ``v_col``) which come out as their own singletons.
+
+    Data-driven plan choice: when the deduplicated adjacency fits one
+    block (``<= small_input_rows`` rows, i.e. <= ~8 MB), the whole
+    propagation runs in ONE task (:func:`_local_cc_block`) and labels
+    broadcast to the vertex map — near-dup graphs are tiny relative to
+    their corpus, and the multi-round distributed loop costs ~0.5 s of
+    fixed overhead per execution. Above the bound, the O(log diameter)
+    distributed rounds run as before; pass ``small_input_rows=0`` to
+    force them."""
     import pyarrow.compute as pc
     import ray.data
 
@@ -120,6 +156,42 @@ def connected_components(edges, *, src: str = "a", dst: str = "b",
     adj = sorted_sum(edges.map_batches(to_adj, batch_format="pyarrow"),
                      ["v", "nbr"], ["n"]).drop_columns(["n"])
     adj = _rebase(adj)
+
+    if adj.count() <= small_input_rows:
+        import ray as _ray
+
+        labels_blk = (adj.repartition(1)
+                      .map_batches(_local_cc_block, batch_size=None,
+                                   batch_format="pyarrow").materialize())
+        endpoints = labels_blk.map_batches(
+            lambda b: b.rename_columns(["v", "cluster_id"]),
+            batch_format="pyarrow")
+        if vertices is None:
+            return endpoints
+        refs = labels_blk.to_arrow_refs()
+        lref = refs[0] if refs else None
+
+        def singletons(batch: pa.Table, *, ref=lref) -> pa.Table:
+            """Vertices with no edges label themselves; labeled
+            endpoints are already emitted, so they are dropped here
+            (vertex rows are globally unique — they are a vertex
+            TABLE)."""
+            vv = np.unique(pc.cast(batch.column(v_col), pa.int64())
+                           .to_numpy(zero_copy_only=False)
+                           .astype(np.int64))
+            if ref is not None:
+                t = _ray.get(ref) if not isinstance(ref, pa.Table) else ref
+                ids_s = t.column("v").to_numpy()  # sorted (np.unique)
+                if len(ids_s):
+                    idx = np.minimum(np.searchsorted(ids_s, vv),
+                                     len(ids_s) - 1)
+                    vv = vv[ids_s[idx] != vv]
+            return pa.table({"v": pa.array(vv),
+                             "cluster_id": pa.array(vv)})
+
+        singles = vertices.map_batches(singletons, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+        return endpoints.union(singles)
 
     def init_from_adj(batch: pa.Table) -> pa.Table:
         return pa.table({"v": batch.column("v"),

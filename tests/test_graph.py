@@ -46,11 +46,15 @@ class TestConnectedComponents:
         e = pa.table({"a": pa.array([a for a, _ in edges], pa.int64()),
                       "b": pa.array([b for _, b in edges], pa.int64())})
         v = pa.table({"v": pa.array(verts, pa.int64())})
-        out = connected_components(
-            ray.data.from_arrow(e).repartition(5),
-            vertices=ray.data.from_arrow(v).repartition(2))
-        got = {r["v"]: r["cluster_id"] for r in out.take_all()}
-        assert got == _brute(edges, verts)
+        # both plans: the small-input single-task path (default) and
+        # the distributed multi-round path (forced)
+        for small in (500_000, 0):
+            out = connected_components(
+                ray.data.from_arrow(e).repartition(5),
+                vertices=ray.data.from_arrow(v).repartition(2),
+                small_input_rows=small)
+            got = {r["v"]: r["cluster_id"] for r in out.take_all()}
+            assert got == _brute(edges, verts), small
 
     def test_edges_only_no_vertices(self, ray_session):
         import ray

@@ -25,13 +25,32 @@ def entry() -> Any:
     return flagship_from_documents("/root/testdata/sf0.001")
 
 
+def _keep_schema_when_empty(fn: Callable[[str], Any]) -> Callable[[str], Any]:
+    """Ray's ``to_pandas()`` on an all-empty Dataset drops the columns,
+    which a downstream schema compare misreads as a mismatch even when
+    both engines legitimately return 0 rows; hand back a TYPED empty
+    Arrow table instead. Non-Dataset results pass through."""
+
+    def run(sf_dir: str) -> Any:
+        res = fn(sf_dir)
+        import ray.data
+
+        if isinstance(res, ray.data.Dataset):
+            res = res.materialize()
+            if res.count() == 0:
+                return res.schema().base_schema.empty_table()
+        return res
+
+    return run
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from karta_ray.pipelines import queries as Q
     from karta_ray.pipelines import queries2 as Q2
     from karta_ray.pipelines import queries3 as Q3
     from karta_ray.pipelines import queries4 as Q4
 
-    return {
+    raw = {
         **Q2.new_queries(),
         **Q3.new_queries3(),
         **Q4.new_queries4(),
@@ -65,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "convex_hull": Q.q_convex_hull,
         "salted_cell_count": Q.q_salted_cell_count,
     }
+    return {k: _keep_schema_when_empty(v) for k, v in raw.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -107,6 +107,36 @@ class _GeomJoin:
                 self.tbbox, xmin, ymin, xmax, ymax))[0]
         else:
             cand = range(len(members))
+
+        # batched fast path: planar polygon target x single-SEGMENT
+        # line members (the dominant member shape) — one (edges x
+        # members) vectorized pass instead of a Python call per member
+        # (measured ~150 us/member of pure dispatch). Semantics are
+        # _exact verbatim: same segment-intersection + collinear rule,
+        # same first-vertex winding test.
+        cand = np.asarray(list(cand), dtype=np.int64)
+        if (not self.geographical and self.target_kind == "polygon"
+                and len(cand)
+                and all(kinds[i] == "line" and len(members[i]) == 2
+                        for i in cand)):
+            seg = np.stack([members[i] for i in cand])   # (M, 2, 2)
+            tx0, ty0, tx1, ty1 = P._segments(self.target, True)
+            xi, _ = P.segment_intersection_planar(
+                tx0[:, None], ty0[:, None], tx1[:, None], ty1[:, None],
+                seg[None, :, 0, 0], seg[None, :, 0, 1],
+                seg[None, :, 1, 0], seg[None, :, 1, 1])
+            inter = np.any(~np.isnan(xi), axis=0)
+            col = P._collinear_overlap(
+                tx0[:, None], ty0[:, None], tx1[:, None], ty1[:, None],
+                seg[None, :, 0, 0], seg[None, :, 0, 1],
+                seg[None, :, 1, 0], seg[None, :, 1, 1])
+            inter |= np.any(col, axis=0)
+            inside = P.points_in_polygon(seg[:, 0, 0], seg[:, 0, 1],
+                                         [self.target])
+            ok = (inside | inter) if self.mode == "touching" \
+                else (inside & ~inter)
+            return batch.take(pa.array(cand[ok], pa.int64()))
+
         keep = []
         for i in cand:
             m = members[i]

@@ -209,6 +209,34 @@ class _IntersectionPoints:
         members = _member_arrays(batch)
         kinds = batch.column("kind").to_pylist()
         ids = batch.column("geom_id").to_numpy()
+
+        # batched fast path (same shape as _GeomJoin): single-segment
+        # line members x planar target in one vectorized pass; the
+        # per-member np.unique dedup becomes one lexsort run mask
+        if (len(members) and
+                all(k == "line" and len(m) == 2
+                    for k, m in zip(kinds, members))):
+            seg = np.stack(members)                       # (M, 2, 2)
+            tx0, ty0, tx1, ty1 = P._segments(self.target, self.ring_t)
+            xi, yi = P.segment_intersection_planar(
+                tx0[:, None], ty0[:, None], tx1[:, None], ty1[:, None],
+                seg[None, :, 0, 0], seg[None, :, 0, 1],
+                seg[None, :, 1, 0], seg[None, :, 1, 1])
+            tm, mm = np.nonzero(~np.isnan(xi))
+            oid = ids[mm].astype(np.int64)
+            ox = xi[tm, mm]
+            oy = yi[tm, mm]
+            if not self.keep_duplicates and len(oid):
+                order = np.lexsort((oy, ox, oid))
+                oid, ox, oy = oid[order], ox[order], oy[order]
+                first = np.ones(len(oid), dtype=bool)
+                first[1:] = ((oid[1:] != oid[:-1]) | (ox[1:] != ox[:-1])
+                             | (oy[1:] != oy[:-1]))
+                oid, ox, oy = oid[first], ox[first], oy[first]
+            return pa.table({"geom_id": pa.array(oid, pa.int64()),
+                             "x": pa.array(ox, pa.float64()),
+                             "y": pa.array(oy, pa.float64())})
+
         out_id = []
         out_x = []
         out_y = []

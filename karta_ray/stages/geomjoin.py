@@ -121,16 +121,22 @@ class _GeomJoin:
                         for i in cand)):
             seg = np.stack([members[i] for i in cand])   # (M, 2, 2)
             tx0, ty0, tx1, ty1 = P._segments(self.target, True)
-            xi, _ = P.segment_intersection_planar(
-                tx0[:, None], ty0[:, None], tx1[:, None], ty1[:, None],
-                seg[None, :, 0, 0], seg[None, :, 0, 1],
-                seg[None, :, 1, 0], seg[None, :, 1, 1])
-            inter = np.any(~np.isnan(xi), axis=0)
-            col = P._collinear_overlap(
-                tx0[:, None], ty0[:, None], tx1[:, None], ty1[:, None],
-                seg[None, :, 0, 0], seg[None, :, 0, 1],
-                seg[None, :, 1, 0], seg[None, :, 1, 1])
-            inter |= np.any(col, axis=0)
+            # tile the member axis so the (T x M_tile) temporaries stay
+            # ~16 MB no matter how large the target ring or block is
+            tile = max(1, (1 << 21) // max(len(tx0), 1))
+            inter = np.empty(len(seg), dtype=bool)
+            for s in range(0, len(seg), tile):
+                ch = seg[s:s + tile]
+                xi, _ = P.segment_intersection_planar(
+                    tx0[:, None], ty0[:, None], tx1[:, None], ty1[:, None],
+                    ch[None, :, 0, 0], ch[None, :, 0, 1],
+                    ch[None, :, 1, 0], ch[None, :, 1, 1])
+                hit = np.any(~np.isnan(xi), axis=0)
+                col = P._collinear_overlap(
+                    tx0[:, None], ty0[:, None], tx1[:, None], ty1[:, None],
+                    ch[None, :, 0, 0], ch[None, :, 0, 1],
+                    ch[None, :, 1, 0], ch[None, :, 1, 1])
+                inter[s:s + tile] = hit | np.any(col, axis=0)
             inside = P.points_in_polygon(seg[:, 0, 0], seg[:, 0, 1],
                                          [self.target])
             ok = (inside | inter) if self.mode == "touching" \
@@ -218,14 +224,21 @@ class _IntersectionPoints:
                     for k, m in zip(kinds, members))):
             seg = np.stack(members)                       # (M, 2, 2)
             tx0, ty0, tx1, ty1 = P._segments(self.target, self.ring_t)
-            xi, yi = P.segment_intersection_planar(
-                tx0[:, None], ty0[:, None], tx1[:, None], ty1[:, None],
-                seg[None, :, 0, 0], seg[None, :, 0, 1],
-                seg[None, :, 1, 0], seg[None, :, 1, 1])
-            tm, mm = np.nonzero(~np.isnan(xi))
-            oid = ids[mm].astype(np.int64)
-            ox = xi[tm, mm]
-            oy = yi[tm, mm]
+            tile = max(1, (1 << 21) // max(len(tx0), 1))
+            oid_c, ox_c, oy_c = [], [], []
+            for s in range(0, len(seg), tile):
+                ch = seg[s:s + tile]
+                xi, yi = P.segment_intersection_planar(
+                    tx0[:, None], ty0[:, None], tx1[:, None], ty1[:, None],
+                    ch[None, :, 0, 0], ch[None, :, 0, 1],
+                    ch[None, :, 1, 0], ch[None, :, 1, 1])
+                tm, mm = np.nonzero(~np.isnan(xi))
+                oid_c.append(ids[s + mm].astype(np.int64))
+                ox_c.append(xi[tm, mm])
+                oy_c.append(yi[tm, mm])
+            oid = np.concatenate(oid_c) if oid_c else np.empty(0, np.int64)
+            ox = np.concatenate(ox_c) if ox_c else np.empty(0)
+            oy = np.concatenate(oy_c) if oy_c else np.empty(0)
             if not self.keep_duplicates and len(oid):
                 order = np.lexsort((oy, ox, oid))
                 oid, ox, oy = oid[order], ox[order], oy[order]

@@ -168,20 +168,21 @@ def connected_components(edges, *, src: str = "a", dst: str = "b",
             batch_format="pyarrow")
         if vertices is None:
             return endpoints
-        refs = labels_blk.to_arrow_refs()
-        lref = refs[0] if refs else None
+        # the materialize may have split the labels into several
+        # blocks; membership needs ALL of them
+        lrefs = list(labels_blk.to_arrow_refs())
 
-        def singletons(batch: pa.Table, *, ref=lref) -> pa.Table:
+        def singletons(batch: pa.Table, *, refs=tuple(lrefs)) -> pa.Table:
             """Vertices with no edges label themselves; labeled
-            endpoints are already emitted, so they are dropped here
-            (vertex rows are globally unique — they are a vertex
-            TABLE)."""
+            endpoints are already emitted, so they are dropped here."""
             vv = np.unique(pc.cast(batch.column(v_col), pa.int64())
                            .to_numpy(zero_copy_only=False)
                            .astype(np.int64))
-            if ref is not None:
-                t = _ray.get(ref) if not isinstance(ref, pa.Table) else ref
-                ids_s = t.column("v").to_numpy()  # sorted (np.unique)
+            if refs:
+                tbls = [_ray.get(r) if not isinstance(r, pa.Table) else r
+                        for r in refs]
+                ids_s = np.sort(np.concatenate(
+                    [t.column("v").to_numpy() for t in tbls]))
                 if len(ids_s):
                     idx = np.minimum(np.searchsorted(ids_s, vv),
                                      len(ids_s) - 1)
@@ -191,6 +192,12 @@ def connected_components(edges, *, src: str = "a", dst: str = "b",
 
         singles = vertices.map_batches(singletons, batch_format="pyarrow",
                                        zero_copy_batch=True)
+        # per-block np.unique cannot see cross-block duplicate vertex
+        # rows; a sorted dedup keeps the fast path's output multiset
+        # identical to the distributed path's for ANY vertex input
+        from .agg import sorted_agg
+
+        singles = sorted_agg(singles, ["v"], [("cluster_id", "min")])
         return endpoints.union(singles)
 
     def init_from_adj(batch: pa.Table) -> pa.Table:

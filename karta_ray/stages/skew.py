@@ -20,6 +20,16 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _count_per_key(key_col: str):
+    """Per-block (key, n) counting kernel shared by the detector and
+    the no-hot-keys fast path."""
+    def count(batch: pa.Table) -> pa.Table:
+        g = (batch.select([key_col]).group_by([key_col])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns([key_col, "n"])
+    return count
+
+
 def detect_hot_keys(ds, key_col: str, *, sample_fraction: float = 0.05,
                     hot_fraction: float = 0.01, min_rows: int = 1000,
                     bounded_cardinality: bool = False):
@@ -40,12 +50,8 @@ def detect_hot_keys(ds, key_col: str, *, sample_fraction: float = 0.05,
     sample = ds.random_sample(sample_fraction, seed=42)
 
     if bounded_cardinality:
-        def count(batch: pa.Table) -> pa.Table:
-            t = batch.select([key_col])
-            g = t.group_by([key_col]).aggregate([([], "count_all")])
-            return g.rename_columns([key_col, "n"])
-
-        part = sample.map_batches(count, batch_format="pyarrow")
+        part = sample.map_batches(_count_per_key(key_col),
+                                  batch_format="pyarrow")
         from .agg import tree_sum
 
         counts = tree_sum(part, [key_col], ["n"]).to_pandas()
@@ -127,12 +133,8 @@ def salted_count(ds, key_col: str, *, salts: int = 16,
         # data-driven skip: with no hot keys every salt would be 0 and
         # the salted sub-aggregate is a pure extra shuffle round —
         # identical result from one combine
-        def partial0(batch: pa.Table) -> pa.Table:
-            g = (batch.select([key_col]).group_by([key_col])
-                 .aggregate([([], "count_all")]))
-            return g.rename_columns([key_col, "n"])
-
-        return tree_sum(ds.map_batches(partial0, batch_format="pyarrow"),
+        return tree_sum(ds.map_batches(_count_per_key(key_col),
+                                       batch_format="pyarrow"),
                         [key_col], ["n"])
 
     salted = add_salt(ds, key_col, hot, salts=salts)

@@ -120,3 +120,65 @@ class TestGeographicalJoin:
         target = np.array([(-50.0, 70.0), (50.0, 70.0)])
         got = touching(ds, target, "line", geographical=True).to_pandas()
         assert got["geom_id"].tolist() == [0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSegmentFastPathChunking:
+    """The vectorized single-segment fast paths tile the member axis;
+    a many-edge target forces tile < members, and the result must
+    equal the per-member loop path (multi-vertex members take it)."""
+
+    def _target(self):
+        # 4000-edge near-circular ring -> tile = 2^21 // 4000 = 524
+        th = np.linspace(0, 2 * np.pi, 4001)[:-1]
+        return np.column_stack([10 * np.cos(th), 10 * np.sin(th)])
+
+    def _members(self, n=2000):
+        rng = np.random.RandomState(11)
+        p0 = rng.uniform(-15, 15, (n, 2))
+        p1 = p0 + rng.uniform(-3, 3, (n, 2))
+        return [np.array([a, b]) for a, b in zip(p0, p1)]
+
+    def test_touching_matches_loop_path(self):
+        import ray.data
+
+        from karta_ray.stages.geomjoin import members_table, touching
+
+        segs = self._members()
+        ring = self._target()
+        fast = touching(
+            ray.data.from_arrow(members_table(segs)).repartition(1),
+            ring, target_kind="polygon")
+        got = sorted(r["geom_id"] for r in fast.take_all())
+        # force the loop path: make each member 3 vertices (midpoint
+        # inserted -> same polyline, same touching answer)
+        segs3 = [np.array([a, (a + b) / 2, b]) for a, b in segs]
+        slow = touching(
+            ray.data.from_arrow(members_table(segs3)).repartition(1),
+            ring, target_kind="polygon")
+        want = sorted(r["geom_id"] for r in slow.take_all())
+        assert got == want and len(got) > 0
+
+    def test_intersection_points_chunked(self):
+        import ray.data
+
+        from karta_ray.stages.geomjoin import (intersection_points,
+                                               members_table)
+
+        segs = self._members(1500)
+        ring = self._target()
+        out = intersection_points(
+            ray.data.from_arrow(members_table(segs)).repartition(1),
+            ring, target_kind="polygon")
+        df = out.to_pandas()
+        assert len(df) > 0
+        # every reported point lies (to float tolerance) on the ring
+        # radius and inside its member's bbox
+        r = np.hypot(df["x"], df["y"])
+        assert np.all(np.abs(r - 10.0) < 1e-3)
+        for gid, g in df.groupby("geom_id"):
+            a, b = segs[int(gid)]
+            lo = np.minimum(a, b) - 1e-9
+            hi = np.maximum(a, b) + 1e-9
+            assert np.all((g["x"] >= lo[0]) & (g["x"] <= hi[0]))
+            assert np.all((g["y"] >= lo[1]) & (g["y"] <= hi[1]))

@@ -742,10 +742,10 @@ def q_grid_sample_bilinear(sf_dir: str):
     return out.map_batches(shape, batch_format="pyarrow")
 
 
-def grid_sample_bilinear_sql() -> str:
-    # I = (lat + 80) - 0.5, J = (lon + 180) - 0.5 (positions() with this
-    # transform reduces to exactly these ops); _lohi bracket mirrored
-    lohi = """
+# I = (lat + 80) - 0.5, J = (lon + 180) - 0.5 (positions() with this
+# transform reduces to exactly these ops); _lohi bracket mirrored.
+# Module-level so the profile oracle reuses the identical fragments.
+BILINEAR_LOHI_SQL = """
   b AS (
     SELECT *,
            CASE WHEN floor(I) <> I THEN floor(I)
@@ -758,8 +758,22 @@ def grid_sample_bilinear_sql() -> str:
                 WHEN J <> 0 THEN J ELSE J + 1 END AS j1f
     FROM ij)
 """
-    val = ("CAST((CAST({i} AS BIGINT)*31 + CAST({j} AS BIGINT)*17) % 97 "
-           "AS DOUBLE)")
+BILINEAR_VAL_SQL = ("CAST((CAST({i} AS BIGINT)*31 + CAST({j} AS BIGINT)*17)"
+                    " % 97 AS DOUBLE)")
+
+
+def bilinear_value_sql() -> str:
+    """The 4-corner bilinear expression over the b CTE."""
+    v = BILINEAR_VAL_SQL
+    return (f"{v.format(i='i0f', j='j0f')} * (i1f - I) * (j1f - J)\n"
+            f"     + {v.format(i='i1f', j='j0f')} * (I - i0f) * (j1f - J)\n"
+            f"     + {v.format(i='i0f', j='j1f')} * (i1f - I) * (J - j0f)\n"
+            f"     + {v.format(i='i1f', j='j1f')} * (I - i0f) * (J - j0f)")
+
+
+def grid_sample_bilinear_sql() -> str:
+    lohi = BILINEAR_LOHI_SQL
+    val = BILINEAR_VAL_SQL
     return f"""
 WITH pts AS ({PTS_SQL}),
 ij AS (

@@ -705,6 +705,54 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# 9. Grid profile: karta Grid.profile (resample a survey line at fixed
+# spacing, bilinear-sample the raster at each station). Station
+# placement is the kernel's own to_points walk (already pinned by
+# exact 20-point reference goldens in pytest) and its coordinates are
+# embedded in the SQL as literals — the oracle independently verifies
+# the SAMPLING: the same 4-corner bilinear mirror grid_sample_bilinear
+# certifies, evaluated at every station.
+# ---------------------------------------------------------------------------
+
+PROFILE_LINE = ((-170.0, -70.0), (-100.0, 20.0), (0.0, 75.0))
+PROFILE_DX = 7.3
+
+
+def q_grid_profile(sf_dir: str):
+    from .. import crs as crsmod
+    from ..stages.raster import profile_stage
+
+    return profile_stage(np.asarray(PROFILE_LINE), PROFILE_DX,
+                         _synthetic_grid(), GRID_T, crsmod.Cartesian,
+                         mode="bilinear")
+
+
+def _grid_profile_sql() -> str:
+    from .. import crs as crsmod
+    from ..kernels.lines import to_points
+    from .queries2 import BILINEAR_LOHI_SQL, bilinear_value_sql
+
+    pts = to_points(np.asarray(PROFILE_LINE), PROFILE_DX, crsmod.Cartesian)
+    # string -> DOUBLE casts: a bare decimal literal is parsed as
+    # DECIMAL first (overflowing products AND rounding the low bits
+    # before any ::DOUBLE cast); strtod on the quoted repr is
+    # correctly rounded and bit-exact
+    rows = ",\n    ".join(
+        f"(CAST('{x!r}' AS DOUBLE), CAST('{y!r}' AS DOUBLE))"
+        for x, y in pts)
+    return f"""
+WITH st(x, y) AS (VALUES
+    {rows}),
+ij AS (SELECT x, y, (y + 80.0) - 0.5 AS I, (x + 180.0) - 0.5 AS J
+       FROM st),
+{BILINEAR_LOHI_SQL}
+SELECT x, y,
+       {bilinear_value_sql()} AS value
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -719,6 +767,7 @@ def new_queries4() -> dict:
         "curation_pipeline": q_curation_pipeline,
         "cell_index": q_cell_index,
         "cell_pyramid": q_cell_pyramid,
+        "grid_profile": q_grid_profile,
     }
 
 
@@ -732,4 +781,5 @@ def new_oracle_sqls4() -> dict:
         "curation_pipeline": _curation_sql(),
         "cell_index": _cell_index_sql(),
         "cell_pyramid": _cell_pyramid_sql(),
+        "grid_profile": _grid_profile_sql(),
     }

@@ -753,6 +753,50 @@ FROM b
 
 
 # ---------------------------------------------------------------------------
+# 10. Grid resample: karta Grid.resample (regrid to a new resolution by
+# sampling the source at the new pixel centers; nearest = banker's
+# rounding of the source positions). New centers land on exact .5
+# fractions of the 1-degree source, so every float op is exact and the
+# SQL mirror (round_even, same as the grid_sample oracle) is
+# structurally bit-identical.
+# ---------------------------------------------------------------------------
+
+RESAMPLE_DX = 3.0
+RESAMPLE_DY = 2.0
+
+
+def q_grid_resample(sf_dir: str):
+    from ..kernels.raster import resample
+
+    out, _t = resample(_synthetic_grid(), GRID_T, RESAMPLE_DX,
+                       RESAMPLE_DY, method="nearest")
+    ny, nx = out.shape
+    jj, ii = np.meshgrid(np.arange(nx, dtype=np.int64),
+                         np.arange(ny, dtype=np.int64))
+    return pa.table({
+        "gi": pa.array(ii.ravel(), pa.int64()),
+        "gj": pa.array(jj.ravel(), pa.int64()),
+        "value": pa.array(out.ravel().astype(np.int64), pa.int64()),
+    })
+
+
+def _grid_resample_sql() -> str:
+    gny, gnx = GRID_SHAPE
+    ny = int(gny * GRID_T[3] / RESAMPLE_DY)
+    nx = int(gnx * GRID_T[2] / RESAMPLE_DX)
+    x0, y0 = GRID_T[0], GRID_T[1]
+    lat = f"({y0!r} + (gi + 0.5) * {RESAMPLE_DY!r})"
+    lon = f"({x0!r} + (gj + 0.5) * {RESAMPLE_DX!r})"
+    return f"""
+SELECT gi, gj,
+       (CAST(round_even({lat} - {y0!r} - 0.5, 0) AS BIGINT) * 31
+      + CAST(round_even({lon} - {x0!r} - 0.5, 0) AS BIGINT) * 17) % 97
+       AS value
+FROM range({ny}) t1(gi) CROSS JOIN range({nx}) t2(gj)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -768,6 +812,7 @@ def new_queries4() -> dict:
         "cell_index": q_cell_index,
         "cell_pyramid": q_cell_pyramid,
         "grid_profile": q_grid_profile,
+        "grid_resample": q_grid_resample,
     }
 
 
@@ -782,4 +827,5 @@ def new_oracle_sqls4() -> dict:
         "cell_index": _cell_index_sql(),
         "cell_pyramid": _cell_pyramid_sql(),
         "grid_profile": _grid_profile_sql(),
+        "grid_resample": _grid_resample_sql(),
     }

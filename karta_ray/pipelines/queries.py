@@ -177,7 +177,9 @@ wn AS (
          ANY_VALUE(l_quantity) AS l_quantity,
          {WINDING_CASE_SQL} AS w
   FROM pe GROUP BY rid, poly_id)
-SELECT l_orderkey, l_linenumber, poly_id, l_quantity FROM wn WHERE w <> 0
+SELECT l_orderkey, l_linenumber, CAST(poly_id AS BIGINT) AS poly_id,
+       l_quantity
+FROM wn WHERE w <> 0
 """
 
 
@@ -1055,11 +1057,11 @@ SELECT l_orderkey, l_linenumber,
 FROM pts
 """,
         "pip_join": pip_pairs_sql().replace(
-            "SELECT l_orderkey, l_linenumber, poly_id, l_quantity FROM wn WHERE w <> 0",
-            "SELECT l_orderkey, l_linenumber, poly_id FROM wn WHERE w <> 0"),
+            ",\n       l_quantity\nFROM wn WHERE w <> 0",
+            "\nFROM wn WHERE w <> 0"),
         "pip_agg": f"""
 WITH pairs AS ({pip_pairs_sql()})
-SELECT poly_id, COUNT(*) AS n_points,
+SELECT CAST(poly_id AS BIGINT) AS poly_id, COUNT(*) AS n_points,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
 FROM pairs GROUP BY poly_id
 """,
@@ -1219,7 +1221,7 @@ SELECT user_id, n FROM c ORDER BY n DESC, user_id LIMIT {TOPK_USERS}
 SELECT event_type,
        (epoch_us(ts) // {WINDOW_US}) * {WINDOW_US} AS window_us,
        COUNT(*) AS n,
-       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+       CAST(SUM(CAST(round_even(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY 1, 2
 """,
         "sessionize": f"""

@@ -1588,11 +1588,11 @@ ROLLING_PURCHASES_SQL = f"""
 WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
            FROM events WHERE event_type <> 'purchase'),
      r AS (SELECT user_id, epoch_us(ts) AS ts_us,
-                  CAST(round(value * 100) AS BIGINT) AS cents
+                  CAST(round_even(value * 100, 0) AS BIGINT) AS cents
            FROM events WHERE event_type = 'purchase')
 SELECT l.event_id, l.user_id, l.ts_us,
        count(r.ts_us) AS n_band,
-       coalesce(sum(r.cents), 0) AS sum_cents
+       CAST(coalesce(sum(r.cents), 0) AS BIGINT) AS sum_cents
 FROM l LEFT JOIN r ON l.user_id = r.user_id
   AND r.ts_us BETWEEN l.ts_us - {BAND_US} AND l.ts_us
 GROUP BY 1, 2, 3
@@ -1630,7 +1630,7 @@ def q_value_quantiles(sf_dir: str):
 
 VALUE_QUANTILES_SQL = """
 WITH c AS (SELECT event_type,
-                  CAST(round(value * 100) AS BIGINT) AS cents
+                  CAST(round_even(value * 100, 0) AS BIGINT) AS cents
            FROM events)
 SELECT event_type,
        quantile_disc(cents, 0.50) AS p50,

@@ -128,7 +128,7 @@ pe AS (
 wn AS (
   SELECT gi, gj, poly_id, ANY_VALUE(v) AS v, {WINDING_CASE_SQL} AS w
   FROM pe GROUP BY gi, gj, poly_id)
-SELECT poly_id, COUNT(*) AS n_cells,
+SELECT CAST(poly_id AS BIGINT) AS poly_id, COUNT(*) AS n_cells,
        CAST(SUM(v) AS BIGINT) AS sum_value,
        CAST(MIN(v) AS BIGINT) AS min_value,
        CAST(MAX(v) AS BIGINT) AS max_value,

@@ -93,7 +93,7 @@ def _truncate_runs(table: pa.Table, keys: list, cap: int) -> pa.Table:
 
 def sorted_map_groups(ds, keys: list, block_fn, *, pre_reduce=None,
                       max_group_rows=None, sort_keys=None,
-                      sort_desc=None):
+                      sort_desc=None, residue_sharder=None):
     """Distributed groupby().map_groups() without Ray's per-group
     dispatch cost (which dominates for many tiny groups: 30-100 us of
     slicing/format conversion per group vs sub-us of useful work).
@@ -124,8 +124,19 @@ def sorted_map_groups(ds, keys: list, block_fn, *, pre_reduce=None,
       x blocks rows. ``block_fn`` must treat any group with more than
       ``max_group_rows`` rows as over-cap.
 
-    With neither escape, a hot key that fills whole blocks lands on the
-    single residue block (O(data) worst case) — fine for bounded key
+    - ``residue_sharder`` (replication-safe group bodies, e.g. band
+      joins): a callable ``(exported_edge_table) -> table + int64
+      "_rshard" column``, free to REPLICATE rows, that splits each hot
+      group's residue across several sub-residues such that
+      ``block_fn`` on each sub-residue alone produces exactly its share
+      of the final rows (no cross-shard combine). The residue then runs
+      as ``groupby("_rshard").map_groups`` over many bounded groups
+      instead of one ``repartition(1)`` block. The sharder must assign
+      fragments of the same key group a consistent shard base across
+      blocks (derive it from the key values, not block-local state).
+
+    With none of the escapes, a hot key that fills whole blocks lands on
+    the single residue block (O(data) worst case) — fine for bounded key
     domains, wrong for corpus-scale skew.
 
     ``sort_keys`` (default ``keys``) lets callers demand a finer
@@ -187,11 +198,20 @@ def sorted_map_groups(ds, keys: list, block_fn, *, pre_reduce=None,
 
     main = blocks.map_batches(interior, batch_size=None,
                               batch_format="pyarrow")
-    residue = (blocks.map_batches(edge_runs, batch_size=None,
+    exported = blocks.map_batches(edge_runs, batch_size=None,
                                   batch_format="pyarrow")
-               .repartition(1)
-               .map_batches(residue_fn, batch_size=None,
-                            batch_format="pyarrow"))
+    if residue_sharder is None:
+        residue = (exported.repartition(1)
+                   .map_batches(residue_fn, batch_size=None,
+                                batch_format="pyarrow"))
+    else:
+        def sharded_residue_fn(t: pa.Table) -> pa.Table:
+            return residue_fn(t.drop_columns(["_rshard"]))
+
+        residue = (exported.map_batches(residue_sharder, batch_size=None,
+                                        batch_format="pyarrow")
+                   .groupby("_rshard")
+                   .map_groups(sharded_residue_fn, batch_format="pyarrow"))
     return main.union(residue)
 
 

@@ -22,7 +22,12 @@ Scale audit: shuffle volume is |left| + 2 |right| rows moved once; a
 hot (key, bucket) group's cost is its true output size (the in-band
 pairs), which is what any correct band join must produce. Composite
 keys need ``rows_per_block * 4 * band < 2^63`` — 10^8-row blocks at a
-1-hour band leave 6 orders of magnitude of headroom.
+1-hour band leave 6 orders of magnitude of headroom. Groups straddling
+sorted-block boundaries go to a residue that is SHARDED under skew
+(:func:`_band_residue_sharder`): lefts split round-robin across
+``RESIDUE_SHARDS`` sub-residues, rights replicated to each, so a hot
+group costs ``|rights| + |lefts| / shards`` rows per residue task
+instead of O(group) on one node.
 """
 
 from __future__ import annotations
@@ -37,6 +42,72 @@ def _np_i64(arr: pa.ChunkedArray) -> np.ndarray:
     if np_arr.dtype.kind == "M":
         np_arr = np_arr.astype("datetime64[us]")
     return np_arr.astype(np.int64)
+
+
+# sub-residues per straddling (key, bucket) group (see
+# _band_residue_sharder); 8 bounds a hot group's per-task left rows to
+# |lefts|/8 at the cost of 8x the (normally tiny) edge-right rows
+RESIDUE_SHARDS = 8
+
+
+def _band_residue_sharder(key: str, shards: int = RESIDUE_SHARDS):
+    """Skew guard for the boundary residue shared by :func:`band_join`
+    and :func:`band_agg`.
+
+    Without it, every straddling (key, bucket) run ships wholesale to
+    ONE residue block, so a hot group that fills whole blocks (a
+    celebrity user inside one band bucket) is O(data) on a single node.
+    The window bodies are replication-safe — each LEFT row's answer
+    depends only on itself plus the group's complete RIGHT set — so the
+    residue can split: lefts are round-robin assigned to ``shards``
+    sub-residues and rights are REPLICATED to all of them. Each
+    sub-residue then computes exact final rows for its lefts with no
+    cross-shard combine; per-task rows are ``|rights| + |lefts| /
+    shards``. The remaining bound is right-side memory (compute stays
+    O(n log n) via prefix sums); collapsing that too would need a
+    per-left identity for a partial-sum combine, which the API does not
+    require callers to provide.
+
+    The shard id base is derived from the (key, bucket) VALUES (crc32),
+    so fragments of one group exported from different blocks land in
+    consistent sub-residues.
+    """
+    import zlib
+
+    def sharder(batch: pa.Table) -> pa.Table:
+        from .agg import group_runs
+
+        if batch.num_rows == 0:
+            return batch.append_column("_rshard",
+                                       pa.array([], type=pa.int64()))
+        starts, ends = group_runs(batch, [key, "bucket"])
+        side = batch.column("side").to_numpy(zero_copy_only=False)
+        kvals = batch.column(key).take(
+            pa.array(starts)).to_pylist()
+        buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
+        idx_parts, shard_parts = [], []
+        for run, (s, e) in enumerate(zip(starts, ends)):
+            h = (zlib.crc32(repr(kvals[run]).encode()) * 2654435761) \
+                ^ int(buckets[s])
+            base = np.int64(h & 0x3FFFFFFFFFFF) * shards
+            rs = side[s:e]
+            li = np.flatnonzero(rs == 1).astype(np.int64) + s
+            ri = np.flatnonzero(rs == 0).astype(np.int64) + s
+            if len(li):
+                idx_parts.append(li)
+                shard_parts.append(
+                    base + np.arange(len(li), dtype=np.int64) % shards)
+            if len(ri):
+                idx_parts.append(np.repeat(ri, shards))
+                shard_parts.append(
+                    base + np.tile(np.arange(shards, dtype=np.int64),
+                                   len(ri)))
+        idx = np.concatenate(idx_parts)
+        sh = np.concatenate(shard_parts).astype(np.int64)
+        return (batch.take(pa.array(idx))
+                .append_column("_rshard", pa.array(sh)))
+
+    return sharder
 
 
 def band_join(left, right, *, key: str, on: str, band: int,
@@ -166,7 +237,8 @@ def band_join(left, right, *, key: str, on: str, band: int,
     from .agg import sorted_map_groups
 
     out = sorted_map_groups(both, [key, "bucket"], pairs,
-                            sort_keys=[key, "bucket", "side", on])
+                            sort_keys=[key, "bucket", "side", on],
+                            residue_sharder=_band_residue_sharder(key))
     return out.map_batches(lambda b: b.select(out_names),
                            batch_format="pyarrow", zero_copy_batch=True)
 
@@ -309,6 +381,7 @@ def band_agg(left, right, *, key: str, on: str, band: int,
     from .agg import sorted_map_groups
 
     out = sorted_map_groups(both, [key, "bucket"], windows,
-                            sort_keys=[key, "bucket", "side", on])
+                            sort_keys=[key, "bucket", "side", on],
+                            residue_sharder=_band_residue_sharder(key))
     return out.map_batches(lambda b: b.select(out_names),
                            batch_format="pyarrow", zero_copy_batch=True)

@@ -1,6 +1,10 @@
 """Mimic the driver's correctness gate: run every queries() pipeline via
 Ray AND its oracle_sql() via DuckDB on the same sf dir; compare row
-count, schema (column names), and order-insensitive values.
+count, schema (column names), order-insensitive values, AND a
+dtype-sensitive value hash (the driver hashes canonicalized sorted rows
+including their physical dtype, so an int64 engine column vs a HUGEINT/
+float64 oracle column fails even when every value is numerically equal —
+that is exactly how rolling_purchases slipped in round 4).
 
 Usage: python scripts/check_oracles.py [sf_dir] [query ...]
 """
@@ -37,6 +41,33 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    """Dtype-sensitive hash of the normalized frame.
+
+    Two frames hash equal only if, column by column (names already
+    sorted by normalize()), the *physical dtype string* and the exact
+    byte representation of every value agree. This is deliberately at
+    least as strict as the driver's comparator: a locally-green hash
+    here can never hide an int64-vs-HUGEINT / int-vs-float promotion.
+    """
+    import hashlib
+
+    h = hashlib.md5()
+    for c in df.columns:
+        col = df[c]
+        h.update(f"{c}|{col.dtype}".encode())
+        kind = col.dtype.kind
+        if kind in "fiub":
+            h.update(np.ascontiguousarray(col.to_numpy()).tobytes())
+        elif kind == "M":
+            h.update(np.ascontiguousarray(
+                col.to_numpy().view("int64")).tobytes())
+        else:
+            h.update("\x1f".join(col.astype(str)).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
 
 
 def main():
@@ -77,6 +108,10 @@ def main():
         else:
             for c in got.columns:
                 a, b = got[c].to_numpy(), want[c].to_numpy()
+                if a.dtype != b.dtype:
+                    status = "DTYPE-MISMATCH"
+                    detail = f" col={c} ray={a.dtype} sql={b.dtype}"
+                    break
                 if a.dtype.kind == "f":
                     eq = np.array_equal(a, b, equal_nan=True)
                 else:
@@ -87,6 +122,8 @@ def main():
                         np.nonzero(~np.isclose(a, b, equal_nan=True))[0][:5]
                     detail = f" col={c} rows={bad.tolist()}"
                     break
+            if status == "OK" and value_hash(got) != value_hash(want):
+                status = "HASH-MISMATCH"
         print(f"[{name}] {status} rows={len(got)}{detail}")
         if status != "OK":
             failures.append(name)

@@ -181,3 +181,78 @@ class TestBandAgg:
         got = got.sort_values("event_id").reset_index(drop=True)
         want = want.sort_values("event_id").reset_index(drop=True)
         assert got.equals(want)
+
+
+class TestResidueSkew:
+    def test_sharder_bounds_lefts_and_replicates_rights(self):
+        # unit check of the residue bound: lefts round-robin across
+        # RESIDUE_SHARDS sub-residues (each assigned once), rights
+        # present in EVERY sub-residue of their group
+        from karta_ray.stages.rangejoin import (RESIDUE_SHARDS,
+                                                _band_residue_sharder)
+
+        nl, nr = 100, 50
+        hot = pa.table({
+            "user_id": np.full(nl + nr, 7, dtype=np.int64),
+            "bucket": np.full(nl + nr, 3, dtype=np.int64),
+            "side": np.concatenate([np.zeros(nr, np.int8),
+                                    np.ones(nl, np.int8)]),
+            "ts": np.arange(nl + nr, dtype=np.int64),
+            "event_id": np.arange(nl + nr, dtype=np.int64),
+        })
+        small = pa.table({
+            "user_id": np.full(3, 9, dtype=np.int64),
+            "bucket": np.full(3, 1, dtype=np.int64),
+            "side": np.array([0, 1, 1], np.int8),
+            "ts": np.arange(3, dtype=np.int64),
+            "event_id": np.arange(3, dtype=np.int64),
+        })
+        out = _band_residue_sharder("user_id")(
+            pa.concat_tables([hot, small]))
+        df = out.to_pandas()
+        hotdf = df[df.user_id == 7]
+        lefts = hotdf[hotdf.side == 1]
+        rights = hotdf[hotdf.side == 0]
+        # every left exported exactly once, spread over all shards
+        assert len(lefts) == nl
+        per_shard = lefts.groupby("_rshard").size()
+        assert len(per_shard) == RESIDUE_SHARDS
+        assert per_shard.max() <= -(-nl // RESIDUE_SHARDS)
+        # rights replicated to every shard of the group
+        assert len(rights) == nr * RESIDUE_SHARDS
+        assert rights.groupby("_rshard").size().eq(nr).all()
+        # shard ids of distinct groups do not collide
+        assert not (set(hotdf._rshard) & set(df[df.user_id == 9]._rshard))
+
+    def test_hot_group_million_rows_exact(self, ray_session):
+        # the VERDICT scale scenario: one (user, day-bucket) group with
+        # 10^6 right rows spanning every sorted block — the sharded
+        # residue must keep per-task lefts bounded AND stay value-exact
+        import ray
+
+        from karta_ray.stages.rangejoin import band_agg
+
+        rng = np.random.RandomState(11)
+        day = 86_400
+        nr, nl = 1_000_000, 4000
+        rts = np.sort(rng.randint(0, day, nr).astype(np.int64))
+        cents = rng.randint(0, 1000, nr).astype(np.int64)
+        lts = rng.randint(0, day, nl).astype(np.int64)
+        band = 3600
+        left = pa.table({"user_id": np.zeros(nl, dtype=np.int64),
+                         "ts": lts,
+                         "event_id": np.arange(nl, dtype=np.int64)})
+        right = pa.table({"user_id": np.zeros(nr, dtype=np.int64),
+                          "ts": rts, "cents": cents})
+        out = band_agg(ray.data.from_arrow(left).repartition(4),
+                       ray.data.from_arrow(right).repartition(32),
+                       key="user_id", on="ts", band=band,
+                       left_cols=["event_id"], agg_cols=["cents"])
+        got = (out.to_pandas().sort_values("event_id")
+               .reset_index(drop=True))
+        assert len(got) == nl
+        cum = np.concatenate([[0], np.cumsum(cents)])
+        lo = np.searchsorted(rts, lts - band, side="left")
+        hi = np.searchsorted(rts, lts, side="right")
+        assert (got["n_band"].to_numpy() == hi - lo).all()
+        assert (got["sum_cents"].to_numpy() == cum[hi] - cum[lo]).all()

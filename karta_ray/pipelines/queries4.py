@@ -706,25 +706,47 @@ GROUP BY 1, 2
 
 # ---------------------------------------------------------------------------
 # 9. Grid profile: karta Grid.profile (resample a survey line at fixed
-# spacing, bilinear-sample the raster at each station). Station
-# placement is the kernel's own to_points walk (already pinned by
-# exact 20-point reference goldens in pytest) and its coordinates are
-# embedded in the SQL as literals — the oracle independently verifies
-# the SAMPLING: the same 4-corner bilinear mirror grid_sample_bilinear
-# certifies, evaluated at every station.
+# spacing, bilinear-sample the raster at each station). Promoted to a
+# DISTRIBUTED pipeline (r5): the raster is a 6M-cell planar grid held
+# as tile records synthesized in the workers (never a driver array),
+# and the sampling is the tile<-point sorted co-shuffle join
+# (stages/raster.py::tile_sample_stage) instead of a broadcast.
+# Station placement is the kernel's own to_points walk (pinned by
+# exact reference goldens in pytest) with coordinates embedded in the
+# SQL as literals — the oracle independently verifies the SAMPLING
+# with the same 4-corner bilinear mirror grid_sample_bilinear uses.
 # ---------------------------------------------------------------------------
 
-PROFILE_LINE = ((-170.0, -70.0), (-100.0, 20.0), (0.0, 75.0))
-PROFILE_DX = 7.3
+# planar world frame: x in [0, 3000], y in [0, 2000], 1x1 cells
+PGRID_T = (0.0, 0.0, 1.0, 1.0, 0.0, 0.0)
+PGRID_SHAPE = (2000, 3000)
+PROFILE_LINE = ((50.0, 100.0), (1500.0, 800.0), (2900.0, 1900.0))
+PROFILE_DX = 1.1
+
+
+def _pgrid_tiles(overlap: int = 0):
+    from ..stages.raster import synthetic_tiles
+
+    return synthetic_tiles(PGRID_SHAPE, PGRID_T,
+                           lambda ii, jj: (ii * 31 + jj * 17) % 97,
+                           overlap=overlap)
 
 
 def q_grid_profile(sf_dir: str):
-    from .. import crs as crsmod
-    from ..stages.raster import profile_stage
+    import ray.data
 
-    return profile_stage(np.asarray(PROFILE_LINE), PROFILE_DX,
-                         _synthetic_grid(), GRID_T, crsmod.Cartesian,
-                         mode="bilinear")
+    from .. import crs as crsmod
+    from ..kernels.lines import to_points
+    from ..stages.raster import tile_sample_stage
+
+    pts = to_points(np.asarray(PROFILE_LINE), PROFILE_DX, crsmod.Cartesian)
+    stations = ray.data.from_arrow(pa.table({
+        "x": pa.array(pts[:, 0], pa.float64()),
+        "y": pa.array(pts[:, 1], pa.float64()),
+    })).repartition(8)
+    return tile_sample_stage(stations, _pgrid_tiles(overlap=1),
+                             transform=PGRID_T, shape=PGRID_SHAPE,
+                             mode="bilinear")
 
 
 def _grid_profile_sql() -> str:
@@ -743,7 +765,7 @@ def _grid_profile_sql() -> str:
     return f"""
 WITH st(x, y) AS (VALUES
     {rows}),
-ij AS (SELECT x, y, (y + 80.0) - 0.5 AS I, (x + 180.0) - 0.5 AS J
+ij AS (SELECT x, y, y - 0.5 AS I, x - 0.5 AS J
        FROM st),
 {BILINEAR_LOHI_SQL}
 SELECT x, y,
@@ -755,10 +777,14 @@ FROM b
 # ---------------------------------------------------------------------------
 # 10. Grid resample: karta Grid.resample (regrid to a new resolution by
 # sampling the source at the new pixel centers; nearest = banker's
-# rounding of the source positions). New centers land on exact .5
-# fractions of the 1-degree source, so every float op is exact and the
-# SQL mirror (round_even, same as the grid_sample oracle) is
-# structurally bit-identical.
+# rounding of the source positions). Promoted to a DISTRIBUTED
+# pipeline (r5): the 1M new pixel centers are a Dataset
+# (ray.data.range -> world_coords per batch), the source is the same
+# worker-synthesized tile-record layer as grid_profile, and the
+# nearest sampling is the tile<-point co-shuffle join. New centers
+# land on exact .5 fractions of the unit source, so every float op is
+# exact and the SQL mirror (round_even, same as the grid_sample
+# oracle) is structurally bit-identical.
 # ---------------------------------------------------------------------------
 
 RESAMPLE_DX = 3.0
@@ -766,31 +792,53 @@ RESAMPLE_DY = 2.0
 
 
 def q_grid_resample(sf_dir: str):
-    from ..kernels.raster import resample
+    import ray.data
 
-    out, _t = resample(_synthetic_grid(), GRID_T, RESAMPLE_DX,
-                       RESAMPLE_DY, method="nearest")
-    ny, nx = out.shape
-    jj, ii = np.meshgrid(np.arange(nx, dtype=np.int64),
-                         np.arange(ny, dtype=np.int64))
-    return pa.table({
-        "gi": pa.array(ii.ravel(), pa.int64()),
-        "gj": pa.array(jj.ravel(), pa.int64()),
-        "value": pa.array(out.ravel().astype(np.int64), pa.int64()),
-    })
+    from ..kernels.raster import world_coords
+    from ..stages.raster import tile_sample_stage
+
+    # reference resample geometry (grid.py:724-760): new shape floor of
+    # extent/new resolution; new transform keeps origin and shear
+    ny = int(PGRID_SHAPE[0] * PGRID_T[3] / RESAMPLE_DY)
+    nx = int(PGRID_SHAPE[1] * PGRID_T[2] / RESAMPLE_DX)
+    new_t = (PGRID_T[0], PGRID_T[1], RESAMPLE_DX, RESAMPLE_DY,
+             PGRID_T[4], PGRID_T[5])
+
+    def centers(batch: pa.Table) -> pa.Table:
+        tid = batch.column("id").to_numpy()
+        gi, gj = tid // nx, tid % nx
+        x, y = world_coords(new_t, gi, gj)
+        return pa.table({"gi": pa.array(gi.astype(np.int64)),
+                         "gj": pa.array(gj.astype(np.int64)),
+                         "x": pa.array(x, pa.float64()),
+                         "y": pa.array(y, pa.float64())})
+
+    pds = ray.data.range(ny * nx).map_batches(
+        centers, batch_format="pyarrow", zero_copy_batch=True)
+    out = tile_sample_stage(pds, _pgrid_tiles(), transform=PGRID_T,
+                            shape=PGRID_SHAPE, mode="nearest",
+                            keep_cols=("gi", "gj"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy()
+        return pa.table({
+            "gi": batch.column("gi"), "gj": batch.column("gj"),
+            "value": pa.array(v.astype(np.int64), pa.int64())})
+
+    return out.map_batches(fin, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 def _grid_resample_sql() -> str:
-    gny, gnx = GRID_SHAPE
-    ny = int(gny * GRID_T[3] / RESAMPLE_DY)
-    nx = int(gnx * GRID_T[2] / RESAMPLE_DX)
-    x0, y0 = GRID_T[0], GRID_T[1]
-    lat = f"({y0!r} + (gi + 0.5) * {RESAMPLE_DY!r})"
-    lon = f"({x0!r} + (gj + 0.5) * {RESAMPLE_DX!r})"
+    gny, gnx = PGRID_SHAPE
+    ny = int(gny * PGRID_T[3] / RESAMPLE_DY)
+    nx = int(gnx * PGRID_T[2] / RESAMPLE_DX)
+    lat = f"((gi + 0.5) * {RESAMPLE_DY!r})"
+    lon = f"((gj + 0.5) * {RESAMPLE_DX!r})"
     return f"""
 SELECT gi, gj,
-       (CAST(round_even({lat} - {y0!r} - 0.5, 0) AS BIGINT) * 31
-      + CAST(round_even({lon} - {x0!r} - 0.5, 0) AS BIGINT) * 17) % 97
+       (CAST(round_even({lat} - 0.5, 0) AS BIGINT) * 31
+      + CAST(round_even({lon} - 0.5, 0) AS BIGINT) * 17) % 97
        AS value
 FROM range({ny}) t1(gi) CROSS JOIN range({nx}) t2(gj)
 """

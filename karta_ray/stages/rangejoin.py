@@ -72,42 +72,10 @@ def _band_residue_sharder(key: str, shards: int = RESIDUE_SHARDS):
     so fragments of one group exported from different blocks land in
     consistent sub-residues.
     """
-    import zlib
+    from .agg import side_residue_sharder
 
-    def sharder(batch: pa.Table) -> pa.Table:
-        from .agg import group_runs
-
-        if batch.num_rows == 0:
-            return batch.append_column("_rshard",
-                                       pa.array([], type=pa.int64()))
-        starts, ends = group_runs(batch, [key, "bucket"])
-        side = batch.column("side").to_numpy(zero_copy_only=False)
-        kvals = batch.column(key).take(
-            pa.array(starts)).to_pylist()
-        buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
-        idx_parts, shard_parts = [], []
-        for run, (s, e) in enumerate(zip(starts, ends)):
-            h = (zlib.crc32(repr(kvals[run]).encode()) * 2654435761) \
-                ^ int(buckets[s])
-            base = np.int64(h & 0x3FFFFFFFFFFF) * shards
-            rs = side[s:e]
-            li = np.flatnonzero(rs == 1).astype(np.int64) + s
-            ri = np.flatnonzero(rs == 0).astype(np.int64) + s
-            if len(li):
-                idx_parts.append(li)
-                shard_parts.append(
-                    base + np.arange(len(li), dtype=np.int64) % shards)
-            if len(ri):
-                idx_parts.append(np.repeat(ri, shards))
-                shard_parts.append(
-                    base + np.tile(np.arange(shards, dtype=np.int64),
-                                   len(ri)))
-        idx = np.concatenate(idx_parts)
-        sh = np.concatenate(shard_parts).astype(np.int64)
-        return (batch.take(pa.array(idx))
-                .append_column("_rshard", pa.array(sh)))
-
-    return sharder
+    return side_residue_sharder([key, "bucket"], shards=shards,
+                                side_col="side", shard_side=1)
 
 
 def band_join(left, right, *, key: str, on: str, band: int,

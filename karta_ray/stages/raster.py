@@ -302,6 +302,192 @@ class GridSampler:
         return batch.append_column(self.out_col, pa.array(v, pa.float64()))
 
 
+def synthetic_tiles(shape, transform, value_fn, *, tile=TILE, overlap=0):
+    """Deterministic synthetic raster as a DISTRIBUTED tile-record
+    Dataset: each task materializes its tiles from (tile_i, tile_j) and
+    a global-index ``value_fn(ii, jj)`` — no driver-side grid array
+    ever exists, so the pattern holds for rasters far beyond driver
+    memory."""
+    import ray.data
+
+    m, n = shape
+    nti = -(-m // tile)
+    ntj = -(-n // tile)
+
+    def make(batch: pa.Table) -> pa.Table:
+        tabs = []
+        for tid in batch.column("id").to_pylist():
+            ti, tj = divmod(tid, ntj)
+            i0, j0 = ti * tile, tj * tile
+            ny, nx = min(tile, m - i0), min(tile, n - j0)
+            ilo, ihi = max(0, i0 - overlap), min(m, i0 + ny + overlap)
+            jlo, jhi = max(0, j0 - overlap), min(n, j0 + nx + overlap)
+            jj, ii = np.meshgrid(np.arange(jlo, jhi, dtype=np.int64),
+                                 np.arange(ilo, ihi, dtype=np.int64))
+            block = np.ascontiguousarray(
+                value_fn(ii, jj).astype(np.float64))
+            tabs.append(pa.table({
+                "grid_id": pa.array([0], pa.int64()),
+                "band": pa.array([0], pa.int64()),
+                "tile_i": pa.array([ti], pa.int64()),
+                "tile_j": pa.array([tj], pa.int64()),
+                "i0": pa.array([i0], pa.int64()),
+                "j0": pa.array([j0], pa.int64()),
+                "ny": pa.array([ny], pa.int64()),
+                "nx": pa.array([nx], pa.int64()),
+                "pt": pa.array([i0 - ilo], pa.int64()),
+                "pl": pa.array([j0 - jlo], pa.int64()),
+                "pny": pa.array([ihi - ilo], pa.int64()),
+                "pnx": pa.array([jhi - jlo], pa.int64()),
+                "transform": pa.array([list(transform)],
+                                      pa.list_(pa.float64(), 6)),
+                "values": pa.array([block.tobytes()], pa.binary()),
+                "dtype": pa.array([block.dtype.str], pa.string()),
+            }))
+        return pa.concat_tables(tabs)
+
+    return ray.data.range(nti * ntj).map_batches(
+        make, batch_format="pyarrow")
+
+
+def tile_sample_stage(points_ds, tiles_ds, *, transform, shape,
+                      tile=TILE, mode="bilinear", x_col="x", y_col="y",
+                      keep_cols=(), out_col="value"):
+    """Raster<-vector sampling join for rasters held as TILE-RECORD
+    Datasets — the scale path when the grid is too big for
+    :func:`sample_points`' single ``ray.put`` broadcast.
+
+    Each point is routed to the one tile whose padded block contains
+    its whole sampling support (nearest: the banker's-rounded cell;
+    bilinear: the 2x2 ``_lohi`` bracket — create the tiles with
+    ``overlap >= 1``), then ONE sorted co-shuffle groups every tile
+    with its points and samples block-locally with arithmetic
+    bit-identical to the broadcast kernels (global float indices,
+    integer offsets into the local block). Points whose support leaves
+    the grid are dropped (the broadcast path's nodata rows). Hot tiles
+    (dense point clusters straddling sorted blocks) split across
+    sharded sub-residues — the tile row replicates, its points spread
+    (:func:`..stages.agg.side_residue_sharder`).
+
+    Reference semantics: karta ``Grid.sample`` / ``Grid.profile``
+    (karta/raster/grid.py:971-1064, crfuncs.pyx:48-157).
+
+    Returns ``keep_cols + [x_col, y_col, out_col]`` with ``out_col``
+    float64.
+    """
+    from .agg import side_residue_sharder, sorted_map_groups
+
+    m, n = shape
+    ntj = -(-n // tile)
+    keep_cols = list(keep_cols)
+    pts_schema = points_ds.schema().base_schema
+    keep_types = {c: pts_schema.field(c).type for c in keep_cols}
+    pt_cols = keep_cols + [x_col, y_col]
+    tile_int_cols = ("i0", "j0", "ny", "nx", "pt", "pl", "pny", "pnx")
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False)
+        I, J = RK.positions(transform, x, y)
+        if mode == "nearest":
+            i = np.round(I).astype(np.int64)
+            j = np.round(J).astype(np.int64)
+            ok = (i >= 0) & (i < m) & (j >= 0) & (j < n)
+        else:
+            i, i1 = RK._lohi(I)
+            j, j1 = RK._lohi(J)
+            ok = (i >= 0) & (i1 < m) & (j >= 0) & (j1 < n)
+        t = batch.filter(pa.array(ok)).select(pt_cols)
+        tkey = (i[ok] // tile) * ntj + (j[ok] // tile)
+        nr = t.num_rows
+        cols = {"tkey": pa.array(tkey), "side": pa.array(
+            np.ones(nr, dtype=np.int8))}
+        for c in pt_cols:
+            cols[c] = t.column(c)
+        for c in tile_int_cols:
+            cols[c] = pa.nulls(nr, pa.int64())
+        cols["values"] = pa.nulls(nr, pa.binary())
+        cols["dtype"] = pa.nulls(nr, pa.string())
+        return pa.table(cols)
+
+    def tag_tiles(batch: pa.Table) -> pa.Table:
+        nr = batch.num_rows
+        tkey = (batch.column("tile_i").to_numpy() * ntj
+                + batch.column("tile_j").to_numpy())
+        cols = {"tkey": pa.array(tkey.astype(np.int64)),
+                "side": pa.array(np.zeros(nr, dtype=np.int8))}
+        for c in keep_cols:
+            cols[c] = pa.nulls(nr, keep_types[c])
+        cols[x_col] = pa.nulls(nr, pa.float64())
+        cols[y_col] = pa.nulls(nr, pa.float64())
+        for c in tile_int_cols:
+            cols[c] = batch.column(c)
+        cols["values"] = batch.column("values")
+        cols["dtype"] = (batch.column("dtype")
+                         if "dtype" in batch.column_names
+                         else pa.array(["<f8"] * nr, pa.string()))
+        return pa.table(cols)
+
+    both = (tiles_ds.map_batches(tag_tiles, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .union(points_ds.map_batches(tag_points,
+                                         batch_format="pyarrow",
+                                         zero_copy_batch=True)))
+
+    def sample_groups(batch: pa.Table) -> pa.Table:
+        from .agg import group_runs
+
+        empty = pa.table(
+            {c: pa.nulls(0, keep_types[c]) for c in keep_cols}
+            | {x_col: pa.nulls(0, pa.float64()),
+               y_col: pa.nulls(0, pa.float64()),
+               out_col: pa.nulls(0, pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        starts, ends = group_runs(batch, ["tkey"])
+        side = batch.column("side").to_numpy(zero_copy_only=False)
+        outs = [empty]
+        for s, e in zip(starts, ends):
+            rs = side[s:e]
+            ti = np.flatnonzero(rs == 0)
+            pi = np.flatnonzero(rs == 1)
+            if len(ti) == 0 or len(pi) == 0:
+                continue
+            r = int(ti[0]) + s               # residue replicas identical
+            blk = _block(batch, r).astype(np.float64, copy=False)
+            oi = (batch.column("i0")[r].as_py()
+                  - batch.column("pt")[r].as_py())
+            oj = (batch.column("j0")[r].as_py()
+                  - batch.column("pl")[r].as_py())
+            pts = batch.slice(s, e - s).filter(
+                pa.array(rs == 1)).select(pt_cols)
+            x = pts.column(x_col).to_numpy()
+            y = pts.column(y_col).to_numpy()
+            I, J = RK.positions(transform, x, y)
+            if mode == "nearest":
+                i = np.round(I).astype(np.int64)
+                j = np.round(J).astype(np.int64)
+                v = blk[i - oi, j - oj]
+            else:
+                i0, i1 = RK._lohi(I)
+                j0, j1 = RK._lohi(J)
+                z00 = blk[i0 - oi, j0 - oj]
+                z10 = blk[i1 - oi, j0 - oj]
+                z01 = blk[i0 - oi, j1 - oj]
+                z11 = blk[i1 - oi, j1 - oj]
+                v = (z00 * (i1 - I) * (j1 - J)
+                     + z10 * (I - i0) * (j1 - J)
+                     + z01 * (i1 - I) * (J - j0)
+                     + z11 * (I - i0) * (J - j0))
+            outs.append(pts.append_column(
+                out_col, pa.array(v.astype(np.float64), pa.float64())))
+        return pa.concat_tables(outs)
+
+    return sorted_map_groups(
+        both, ["tkey"], sample_groups, sort_keys=["tkey", "side"],
+        residue_sharder=side_residue_sharder(["tkey"]))
+
+
 def sample_points(points_ds, values, transform, *, mode="bilinear",
                   nodata=np.nan, x_col="lon", y_col="lat"):
     """Raster<-vector sampling join: broadcast the grid once, sample per

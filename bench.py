@@ -93,8 +93,11 @@ def run_headline(pages_dir: str, reps: int = 3) -> dict:
     for _ in range(reps):
         t0 = time.perf_counter()
         ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
+        # slim: the consumer is the (poly_id, cell_id) aggregate, so
+        # url / tile_xyz / poly_name are pruned before the one
+        # object-store exchange (24 B/doc crosses instead of ~100)
         joined = flagship_pipeline(ds, zoom=7, polyset=synth.admin_polygons(),
-                                   concurrency=(2, NUM_CPUS))
+                                   concurrency=(2, NUM_CPUS), slim=True)
         agg = flagship_aggregate(joined)
         rows = 0
         for b in agg.iter_batches(batch_format="pyarrow"):

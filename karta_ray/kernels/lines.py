@@ -62,21 +62,46 @@ def polygon_to_line(verts):
     return np.vstack([verts, verts[:1]])
 
 
-def flat_distances_to(verts, px, py):
+def flat_distances_to(verts, px, py, pz=None):
     """Planar distance from each vertex to a point (reference
-    ``flat_distances_to``, karta/vector/geometry.py:564-569)."""
+    ``flat_distances_to``, karta/vector/geometry.py:564-569). The
+    reference sums squared offsets over EVERY coordinate column, so a
+    rank-3 vertex array with a rank-3 query point measures in 3-D;
+    pass ``pz`` to opt in (rank-2 verts or a rank-2 point stay 2-D,
+    like mixing ranks does in the reference constructors, which slice
+    to the minimum rank)."""
     verts = np.asarray(verts, dtype=np.float64)
+    if pz is not None and verts.shape[1] >= 3:
+        dx = verts[:, 0] - px
+        dy = verts[:, 1] - py
+        dz = verts[:, 2] - pz
+        return np.sqrt(dx * dx + dy * dy + dz * dz)
     return np.hypot(verts[:, 0] - px, verts[:, 1] - py)
 
 
-def distances_to(verts, px, py, crs=crsmod.Cartesian):
+def distances_to(verts, px, py, crs=crsmod.Cartesian, pz=None):
     """CRS-dispatched distance from each vertex to a point (reference
     ``distances_to``, geometry.py:571-574 — per-vertex Point.distance,
-    here one vectorized call)."""
+    here one vectorized call). With rank-3 verts AND ``pz``, the
+    vertical offset is added in quadrature AFTER the horizontal
+    (geodesic or planar) distance, exactly like ``Point.distance``
+    (geometry.py:311-313)."""
     verts = np.asarray(verts, dtype=np.float64)
+    alt1 = alt2 = None
+    if pz is not None and verts.shape[1] >= 3:
+        alt1 = verts[:, 2]
+        alt2 = np.full(len(verts), pz, dtype=np.float64)
     return crsmod.point_distance(crs, verts[:, 0], verts[:, 1],
                                  np.full(len(verts), px),
-                                 np.full(len(verts), py))
+                                 np.full(len(verts), py),
+                                 alt1=alt1, alt2=alt2)
+
+
+def nearest_vertex_to(verts, px, py, crs=crsmod.Cartesian, pz=None):
+    """Index of the vertex nearest to the point — argmin of
+    ``distances_to`` (reference ``nearest_vertex_to``,
+    geometry.py:576-591), rank-3 aware through the same z-quadrature."""
+    return int(np.argmin(distances_to(verts, px, py, crs=crs, pz=pz)))
 
 
 def segment_lengths(verts):
@@ -92,7 +117,13 @@ def segment_lengths(verts):
 
 
 def cumulength(verts, crs=crsmod.Cartesian):
-    """Cumulative arc length per vertex (geometry.py:875-888)."""
+    """Cumulative arc length per vertex (geometry.py:875-888).
+
+    The reference computes this through per-segment ``Point.distance``,
+    so for rank-3 vertices each segment adds the vertical offset in
+    quadrature AFTER the horizontal distance (``sqrt(d*d + dz*dz)``
+    with d already rounded — geometry.py:311-313); the two-step order
+    is kept for bit parity rather than folding dz into one sqrt."""
     verts = np.asarray(verts, dtype=np.float64)
     if crs.kind == "cartesian":
         seg = segment_lengths(verts)
@@ -100,13 +131,23 @@ def cumulength(verts, crs=crsmod.Cartesian):
         dist, _, _ = _dist_az_walk(crs)
         seg = np.array([dist(*verts[i, :2], *verts[i + 1, :2])
                         for i in range(len(verts) - 1)])
+    if verts.shape[1] >= 3:
+        dz = np.diff(verts[:, 2])
+        seg = np.sqrt(seg * seg + dz * dz)
     return np.concatenate([[0.0], np.cumsum(seg)])
 
 
 def line_length(verts, crs=crsmod.Cartesian, ring=False):
     """Total length; ring adds the closing segment
-    (vectorgeo.pyx:178-195, geometry.py:646-665)."""
-    verts = np.asarray(verts, dtype=np.float64)
+    (vectorgeo.pyx:178-195, geometry.py:646-665).
+
+    Deliberately 2-D even for rank-3 vertices: the reference's
+    ``Line.length`` reads only x/y (the planar Cython kernel walks
+    getX/getY, vectorgeo.pyx:178-195; the geographic branch slices
+    ``[:2]``, geometry.py:655-663) — so for a rank-3 line,
+    ``length != cumulength()[-1]`` in the reference, a quirk preserved
+    here (cumulength goes through the z-aware Point.distance)."""
+    verts = np.asarray(verts, dtype=np.float64)[:, :2]
     if ring:
         verts = np.vstack([verts, verts[:1]])
     return float(cumulength(verts, crs)[-1])

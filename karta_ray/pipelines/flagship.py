@@ -20,17 +20,32 @@ from ..stages.tiles import assign_cells
 
 
 def flagship_pipeline(pages_ds, *, zoom: int = 7, polyset=None,
-                      concurrency=None, mode: str = "inner"):
+                      concurrency=None, mode: str = "inner",
+                      slim: bool = False):
     """pages Dataset (url, warc_ts, html, ...) -> joined Dataset
-    (url, lon, lat, cell_id, poly_id, poly_name)."""
+    (url, lon, lat, cell_id, poly_id, poly_name).
+
+    ``slim=True`` is the aggregate-sink flavor: when the consumer only
+    needs (poly_id, cell_id) counts, url / tile_x/y/z / poly_name are
+    dead weight on the one object-store boundary in the pipeline (the
+    read->extract->cells chain fuses into one task, pip_join's
+    batch_size breaks fusion there to pipeline I/O with compute), so
+    they are pruned before the exchange — 24 B/doc crosses instead of
+    ~100. A sink that DOES need url should carry it inline instead (the
+    flagship has no shuffle between extract and sink, so a row-id +
+    join-url-back-at-the-sink plan would cost a real hash shuffle to
+    save a 43-byte column that fused stages move for free)."""
     if polyset is None:
         polyset = synth.admin_polygons()
     ds = pages_ds.map_batches(extract_geotag_stage, batch_format="pyarrow",
                               zero_copy_batch=True)
+    if slim:
+        ds = ds.select_columns(["lon", "lat"])
     ds = ds.map_batches(assign_cells, batch_format="pyarrow",
-                        fn_kwargs={"zoom": zoom}, zero_copy_batch=True)
+                        fn_kwargs={"zoom": zoom, "with_xyz": not slim},
+                        zero_copy_batch=True)
     return pip_join(ds, polyset, zoom=zoom, mode=mode,
-                    concurrency=concurrency)
+                    concurrency=concurrency, with_name=not slim)
 
 
 def flagship_from_documents(sf_dir: str, *, zoom: int = 7):

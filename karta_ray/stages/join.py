@@ -117,8 +117,9 @@ class PolyJoinerSTR:
         out = batch.take(pa.array(pts, pa.int64()))
         out = out.append_column(
             "poly_id", pa.array(self.polys.poly_id[pls], pa.int64()))
+        names = pa.array(list(self.polys.name), pa.string())
         return out.append_column(
-            "poly_name", pa.array([self.polys.name[i] for i in pls], pa.string()))
+            "poly_name", names.take(pa.array(pls, pa.int64())))
 
 
 def pip_join_strtree(points_ds, polyset: PolygonSet, *,
@@ -186,7 +187,7 @@ class PolyJoiner:
     """
 
     def __init__(self, prep_ref, mode: str = "inner",
-                 cell_col: str = "cell_id"):
+                 cell_col: str = "cell_id", with_name: bool = True):
         prep = ray.get(prep_ref) if isinstance(prep_ref, ray.ObjectRef) else prep_ref
         self.polys: PolygonSet = prep["polys"]
         self.cover_cells: np.ndarray = prep["cover_cells"]
@@ -195,6 +196,10 @@ class PolyJoiner:
         self.zoom: int = prep["zoom"]
         self.mode = mode
         self.cell_col = cell_col
+        self.with_name = with_name
+        # vectorized poly_name lookup (take on a prebuilt arrow array,
+        # not a per-output-row Python list comprehension)
+        self.name_arr = pa.array(list(self.polys.name), pa.string())
 
     def _candidates(self, cells: np.ndarray):
         """Vectorized cell -> candidate pairs: (point_idx, poly_idx)."""
@@ -262,8 +267,10 @@ class PolyJoiner:
         out = batch.take(pa.array(pts, pa.int64()))
         out = out.append_column(
             "poly_id", pa.array(self.polys.poly_id[pls], pa.int64()))
+        if not self.with_name:
+            return out
         return out.append_column(
-            "poly_name", pa.array([self.polys.name[i] for i in pls], pa.string()))
+            "poly_name", self.name_arr.take(pa.array(pls, pa.int64())))
 
 
 # per-worker-process cache of constructed joiners: Ray reuses worker
@@ -274,12 +281,13 @@ _JOINER_CACHE: dict = {}
 
 
 def _join_batch(batch: pa.Table, *, prep_ref, mode: str,
-                cell_col: str) -> pa.Table:
+                cell_col: str, with_name: bool = True) -> pa.Table:
     key = (prep_ref.hex() if hasattr(prep_ref, "hex") else id(prep_ref),
-           mode, cell_col)
+           mode, cell_col, with_name)
     joiner = _JOINER_CACHE.get(key)
     if joiner is None:
-        joiner = PolyJoiner(prep_ref, mode=mode, cell_col=cell_col)
+        joiner = PolyJoiner(prep_ref, mode=mode, cell_col=cell_col,
+                            with_name=with_name)
         _JOINER_CACHE.clear()  # at most one live polygon layer per worker
         _JOINER_CACHE[key] = joiner
     return joiner(batch)
@@ -291,7 +299,7 @@ def _join_batch(batch: pa.Table, *, prep_ref, mode: str,
 # ~1.5x faster end-to-end on the 4M-page bench).
 def pip_join(points_ds, polyset: PolygonSet, *, zoom: int = DEFAULT_ZOOM,
              mode: str = "inner", concurrency=None, batch_size: int = 8192,
-             cell_col: str = "cell_id"):
+             cell_col: str = "cell_id", with_name: bool = True):
     """points Dataset (with lon/lat/cell_id columns) x PolygonSet ->
     joined Dataset.
 
@@ -304,7 +312,8 @@ def pip_join(points_ds, polyset: PolygonSet, *, zoom: int = DEFAULT_ZOOM,
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        fn_kwargs={"prep_ref": prep_ref, "mode": mode, "cell_col": cell_col},
+        fn_kwargs={"prep_ref": prep_ref, "mode": mode, "cell_col": cell_col,
+                   "with_name": with_name},
     )
     if concurrency is not None and not isinstance(concurrency, (tuple, list)):
         kwargs["concurrency"] = concurrency

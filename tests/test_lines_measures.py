@@ -246,6 +246,46 @@ class TestRank3:
         with pytest.raises(ValueError):
             apply_affine(np.zeros((1, 2)), np.zeros((4, 4)))
 
+    def test_cumulength_rank3_planar(self):
+        # Point.distance per segment: sqrt(d2d^2 + dz^2)
+        v = np.array([[0.0, 0.0, 0.0], [3.0, 4.0, 12.0]])
+        assert lines.cumulength(v).tolist() == [0.0, 13.0]
+
+    def test_cumulength_rank3_geodesic(self):
+        v = np.array([[0.0, 0.0, 0.0], [1.0, 1.0, 3000.0]])
+        h = float(crs.SphericalEarth.inverse(0.0, 0.0, 1.0, 1.0)[2])
+        got = lines.cumulength(v, crs=crs.SphericalEarth)
+        assert got[1] == pytest.approx(np.sqrt(h * h + 9e6), rel=1e-15)
+
+    def test_line_length_rank3_stays_2d(self):
+        # reference quirk: Line.length reads only x/y
+        # (vectorgeo.pyx:178-195, geometry.py:655-663), so for rank-3
+        # lines length != cumulength()[-1]
+        v = np.array([[0.0, 0.0, 0.0], [3.0, 4.0, 12.0]])
+        assert lines.line_length(v) == 5.0
+        assert lines.cumulength(v)[-1] == 13.0
+
+    def test_flat_distances_rank3(self):
+        v = np.array([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0]])
+        d = lines.flat_distances_to(v, 0.0, 0.0, pz=2.0)
+        assert d.tolist() == [2.0, pytest.approx(np.sqrt(3.0))]
+        # rank-2 verts ignore pz (reference min-rank slicing)
+        d2 = lines.flat_distances_to(v[:, :2], 0.0, 0.0, pz=2.0)
+        assert d2.tolist() == [0.0, pytest.approx(np.sqrt(2.0))]
+
+    def test_nearest_vertex_rank3_reference_golden(self):
+        # reference tests/geometry_tests.py:263-266: nearest vertex of
+        # the 20-point rank-3 fixture to Point((1, 2, 3)) is index 12
+        verts = np.array([
+            (2.0, 9.0, 9.0), (4.0, 1.0, 9.0), (4.0, 1.0, 5.0),
+            (2.0, 8.0, 0.0), (9.0, 8.0, 4.0), (1.0, 4.0, 6.0),
+            (7.0, 3.0, 4.0), (2.0, 5.0, 3.0), (1.0, 6.0, 6.0),
+            (8.0, 1.0, 0.0), (5.0, 5.0, 1.0), (4.0, 5.0, 7.0),
+            (3.0, 3.0, 5.0), (9.0, 0.0, 9.0), (6.0, 3.0, 8.0),
+            (4.0, 5.0, 7.0), (9.0, 9.0, 4.0), (1.0, 4.0, 7.0),
+            (1.0, 7.0, 8.0), (9.0, 1.0, 6.0)])
+        assert lines.nearest_vertex_to(verts, 1.0, 2.0, pz=3.0) == 12
+
 
 class TestConversionsAndDistances:
     """Line<->Polygon conversion + per-vertex distance accessors

@@ -2194,7 +2194,26 @@ def q_lang_centroids(sf_dir: str):
             return empty
         starts, ends = group_runs(tbl, ["key"])
         side = tbl.column("side").to_numpy()
-        valid = (ends - starts == 2) & (side[starts] == 0)
+        # doc_id / vec_id are primary keys by contract: a run longer
+        # than 2 means a duplicated key on one side — fail loudly
+        # rather than silently dropping (or worse, pairing a doc row
+        # with another doc row's null vec)
+        if (ends - starts > 2).any():
+            bad = starts[ends - starts > 2][:3]
+            raise ValueError(
+                "lang_centroids: duplicated doc_id/vec_id key(s), e.g. "
+                f"{tbl.column('key').take(pa.array(bad)).to_pylist()}")
+        # a valid pair is exactly (doc row, vec row) in side order;
+        # length-1 runs are legitimately unmatched keys (inner join)
+        nxt = np.minimum(starts + 1, len(side) - 1)
+        pair = ends - starts == 2
+        valid = pair & (side[starts] == 0) & (side[nxt] == 1)
+        if (pair & ~valid).any():          # (doc,doc) or (vec,vec)
+            bad = starts[pair & ~valid][:3]
+            raise ValueError(
+                "lang_centroids: same-side key pair(s) — duplicated "
+                "doc_id or vec_id, e.g. "
+                f"{tbl.column('key').take(pa.array(bad)).to_pylist()}")
         if not valid.any():
             return empty
         langs = tbl.column("lang").take(

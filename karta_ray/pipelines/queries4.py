@@ -159,6 +159,14 @@ def q_tile_pyramid(sf_dir: str):
         lon = batch.column("lon").to_numpy()
         lat = batch.column("lat").to_numpy()
         x, y = tk.tile_xy(lon, lat, ZOOM)
+        # guard the pack: tile_xy emits -1 sentinels for bad
+        # coordinates and y can leave [0, 2^z) for |lat| beyond the
+        # Mercator domain — packing those would silently corrupt tile
+        # ids (ADVICE r4). The current point derivation keeps lat in
+        # [-80, 80) so nothing drops today; the filter makes that a
+        # property of the operator, not of the data.
+        ok = (x >= 0) & (y >= 0) & (y < (1 << ZOOM))
+        x, y = x[ok], y[ok]
         packed = (x << 29) | y
         uniq, n = np.unique(packed, return_counts=True)
         zs, xs, ys, ns = [], [], [], []
@@ -845,6 +853,54 @@ FROM range({ny}) t1(gi) CROSS JOIN range({nx}) t2(gj)
 
 
 # ---------------------------------------------------------------------------
+# 11. Streaming-style session windows (r5 stretch): watermark-free
+# event-time windows over the time-ordered events feed — the
+# PER-WINDOW rows whose rollup is the existing sessionize oracle.
+# Bounded residue: blocks export pre-collapsed session partials, so a
+# bursting hot user costs one residue row per block (stages/stream.py).
+# ---------------------------------------------------------------------------
+
+
+def q_session_windows(sf_dir: str):
+    import ray.data
+
+    from ..stages.stream import session_windows
+    from .queries import SESSION_GAP_US
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return session_windows(ev, key="user_id", on="ts",
+                           gap=SESSION_GAP_US)
+
+
+def _session_windows_sql() -> str:
+    from .queries import SESSION_GAP_US
+
+    # RANGE framing (not ROWS): events sharing a timestamp are frame
+    # peers, so both tied rows read the same cumulative session count —
+    # the engine's interval merge puts ties in one session by
+    # construction, and ROWS would split them nondeterministically
+    return f"""
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts)
+                   > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (
+  SELECT user_id, ts_us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                             RANGE UNBOUNDED PRECEDING) AS session_id
+  FROM o)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+       COUNT(*) AS n_events
+FROM s GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -861,6 +917,7 @@ def new_queries4() -> dict:
         "cell_pyramid": q_cell_pyramid,
         "grid_profile": q_grid_profile,
         "grid_resample": q_grid_resample,
+        "session_windows": q_session_windows,
     }
 
 
@@ -876,4 +933,5 @@ def new_oracle_sqls4() -> dict:
         "cell_pyramid": _cell_pyramid_sql(),
         "grid_profile": _grid_profile_sql(),
         "grid_resample": _grid_resample_sql(),
+        "session_windows": _session_windows_sql(),
     }

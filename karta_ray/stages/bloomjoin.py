@@ -195,8 +195,11 @@ def _verify_filter(survivors, rkeys, key: str, left_schema: pa.Schema,
     useful work at bench scale (same trade as the as-of and star
     joins). Shuffle volume is |survivors| + |right keys|; per-key runs
     are (left multiplicity + 1) rows, so skew follows the left table's
-    own key skew."""
-    from .agg import group_runs, sorted_map_groups
+    own key skew — and a hot left key whose run straddles sorted
+    blocks splits across sharded sub-residues (the single right-key
+    row replicates, the left rows spread), so the residue is never
+    O(hot key) on one node."""
+    from .agg import group_runs, side_residue_sharder, sorted_map_groups
 
     out_cols = left_schema.names
 
@@ -230,5 +233,7 @@ def _verify_filter(survivors, rkeys, key: str, left_schema: pa.Schema,
         want = (has_right[run_idx] == keep_matched) & (side == 1)
         return tbl.filter(pa.array(want)).select(out_cols)
 
-    return sorted_map_groups(unioned, [key], block_fn,
-                             sort_keys=[key, "__side"])
+    return sorted_map_groups(
+        unioned, [key], block_fn, sort_keys=[key, "__side"],
+        residue_sharder=side_residue_sharder([key], side_col="__side",
+                                             shard_side=1))

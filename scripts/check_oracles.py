@@ -77,7 +77,10 @@ def main():
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False)
+        # CHECK_CPUS=32 reproduces the driver harness invocation
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("CHECK_CPUS", "8")),
+                 include_dashboard=False)
 
     con = duckdb.connect()
     for t in TABLES:

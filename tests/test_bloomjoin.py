@@ -106,3 +106,26 @@ class TestBloomAntiJoin:
                               anti=True, exact=False, m_bits=1 << 10)
         got = [r["k"] for r in out.take_all()]
         assert all(k >= 100 for k in got)  # no false "non-member"
+
+    def test_hot_left_key_straddles_blocks(self, ray_session):
+        # one left key with 200k rows spanning every sorted block: the
+        # verify residue must shard (right key row replicates, left
+        # rows spread) and stay exact for both semi and anti
+        import ray
+
+        from karta_ray.stages.bloomjoin import bloom_semi_join
+
+        n = 200_000
+        lk = np.concatenate([np.full(n, 7, dtype=np.int64),
+                             np.arange(100, 160, dtype=np.int64)])
+        left = pa.table({"k": pa.array(lk),
+                         "x": pa.array(np.arange(len(lk), dtype=np.int64))})
+        right = pa.table({"k": pa.array(np.array([7, 100], np.int64))})
+        semi = bloom_semi_join(ray.data.from_arrow(left).repartition(16),
+                               ray.data.from_arrow(right), key="k",
+                               m_bits=1 << 12)
+        assert semi.count() == n + 1
+        anti = bloom_semi_join(ray.data.from_arrow(left).repartition(16),
+                               ray.data.from_arrow(right), key="k",
+                               anti=True, m_bits=1 << 12)
+        assert anti.count() == 59

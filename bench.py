@@ -368,7 +368,7 @@ def micro_main():
 
 # the last judged round's snapshot commit: default A/B comparand for
 # both `--ab` and the A/B block in the default bench run
-AB_BASE_REV = os.environ.get("GRAFT_AB_REV", "ee95947")
+AB_BASE_REV = os.environ.get("GRAFT_AB_REV", "599f011")  # r4 snapshot
 
 
 def main():

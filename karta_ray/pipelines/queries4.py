@@ -800,32 +800,15 @@ RESAMPLE_DY = 2.0
 
 
 def q_grid_resample(sf_dir: str):
-    import ray.data
+    from ..stages.raster import regrid_tiles_stage
 
-    from ..kernels.raster import world_coords
-    from ..stages.raster import tile_sample_stage
-
-    # reference resample geometry (grid.py:724-760): new shape floor of
-    # extent/new resolution; new transform keeps origin and shear
-    ny = int(PGRID_SHAPE[0] * PGRID_T[3] / RESAMPLE_DY)
-    nx = int(PGRID_SHAPE[1] * PGRID_T[2] / RESAMPLE_DX)
-    new_t = (PGRID_T[0], PGRID_T[1], RESAMPLE_DX, RESAMPLE_DY,
-             PGRID_T[4], PGRID_T[5])
-
-    def centers(batch: pa.Table) -> pa.Table:
-        tid = batch.column("id").to_numpy()
-        gi, gj = tid // nx, tid % nx
-        x, y = world_coords(new_t, gi, gj)
-        return pa.table({"gi": pa.array(gi.astype(np.int64)),
-                         "gj": pa.array(gj.astype(np.int64)),
-                         "x": pa.array(x, pa.float64()),
-                         "y": pa.array(y, pa.float64())})
-
-    pds = ray.data.range(ny * nx).map_batches(
-        centers, batch_format="pyarrow", zero_copy_batch=True)
-    out = tile_sample_stage(pds, _pgrid_tiles(), transform=PGRID_T,
-                            shape=PGRID_SHAPE, mode="nearest",
-                            keep_cols=("gi", "gj"))
+    # regular-output regrid: the pixel -> source-tile map is analytic,
+    # so each tile emits its owned output pixels directly — NO shuffle
+    # (regrid_tiles_stage); arbitrary point sets would use the
+    # tile_sample_stage co-shuffle instead (grid_profile does)
+    out = regrid_tiles_stage(_pgrid_tiles(), transform=PGRID_T,
+                             shape=PGRID_SHAPE, new_dx=RESAMPLE_DX,
+                             new_dy=RESAMPLE_DY, method="nearest")
 
     def fin(batch: pa.Table) -> pa.Table:
         v = batch.column("value").to_numpy()

@@ -488,6 +488,98 @@ def tile_sample_stage(points_ds, tiles_ds, *, transform, shape,
         residue_sharder=side_residue_sharder(["tkey"]))
 
 
+def regrid_tiles_stage(tiles_ds, *, transform, shape, new_dx, new_dy,
+                       method="nearest"):
+    """Regular-grid resample (karta ``Grid.resample``,
+    grid.py:724-760) as an embarrassingly parallel per-tile map — the
+    regular-output specialization of :func:`tile_sample_stage`.
+
+    A regular output grid's pixel -> source-tile map is analytic, so
+    each tile emits exactly the output pixels whose sampling support it
+    OWNS (nearest: the banker's-rounded source cell; bilinear: the
+    ``_lohi`` low corner, needing ``overlap >= 1`` tiles): no pixel is
+    emitted twice and NO shuffle happens at all. Arbitrary
+    (non-gridded) point sets still need the co-shuffle join. Sampling
+    arithmetic is bit-identical to the broadcast kernels (global float
+    indices via ``positions``, integer offsets into the local block).
+
+    Axis-aligned source only (``sx == sy == 0``); the reference keeps
+    shear through resample, which the shuffle path supports.
+
+    Returns rows (gi, gj, value) with value float64.
+    """
+    x0g, y0g, dx, dy, sx, sy = transform
+    if sx != 0.0 or sy != 0.0:
+        raise ValueError("regrid_tiles_stage needs an axis-aligned "
+                         "source; use tile_sample_stage for shear")
+    m, n = shape
+    ny_new = int(m * dy / new_dy)
+    nx_new = int(n * dx / new_dx)
+    new_t = (x0g, y0g, new_dx, new_dy, sx, sy)
+
+    # global 1-D index maps (separable because shear is zero); the
+    # positions() call keeps the float-op order identical to the
+    # point-sampling paths
+    gi_all = np.arange(ny_new, dtype=np.int64)
+    gj_all = np.arange(nx_new, dtype=np.int64)
+    x_all, _ = RK.world_coords(new_t, np.zeros(nx_new), gj_all)
+    _, y_all = RK.world_coords(new_t, gi_all, np.zeros(ny_new))
+    I_all = RK.positions(transform, np.full(ny_new, x0g), y_all)[0]
+    J_all = RK.positions(transform, x_all, np.full(nx_new, y0g))[1]
+    if method == "nearest":
+        si_all = np.round(I_all).astype(np.int64)
+        sj_all = np.round(J_all).astype(np.int64)
+    else:
+        si_all = RK._lohi(I_all)[0]
+        sj_all = RK._lohi(J_all)[0]
+
+    def emit(batch: pa.Table) -> pa.Table:
+        outs = [pa.table({"gi": pa.array([], pa.int64()),
+                          "gj": pa.array([], pa.int64()),
+                          "value": pa.array([], pa.float64())})]
+        for r in range(batch.num_rows):
+            i0 = batch.column("i0")[r].as_py()
+            j0 = batch.column("j0")[r].as_py()
+            tny = batch.column("ny")[r].as_py()
+            tnx = batch.column("nx")[r].as_py()
+            oi = i0 - batch.column("pt")[r].as_py()
+            oj = j0 - batch.column("pl")[r].as_py()
+            gi = gi_all[(si_all >= i0) & (si_all < i0 + tny)]
+            gj = gj_all[(sj_all >= j0) & (sj_all < j0 + tnx)]
+            if method == "bilinear":
+                # the high corner must also be in bounds globally
+                gi = gi[si_all[gi] + 1 < m]
+                gj = gj[sj_all[gj] + 1 < n]
+            if len(gi) == 0 or len(gj) == 0:
+                continue
+            blk = _block(batch, r).astype(np.float64, copy=False)
+            if method == "nearest":
+                v = blk[np.ix_(si_all[gi] - oi, sj_all[gj] - oj)]
+            else:
+                I = I_all[gi][:, None]
+                J = J_all[gj][None, :]
+                i0f = si_all[gi][:, None]
+                j0f = sj_all[gj][None, :]
+                z00 = blk[np.ix_(si_all[gi] - oi, sj_all[gj] - oj)]
+                z10 = blk[np.ix_(si_all[gi] + 1 - oi, sj_all[gj] - oj)]
+                z01 = blk[np.ix_(si_all[gi] - oi, sj_all[gj] + 1 - oj)]
+                z11 = blk[np.ix_(si_all[gi] + 1 - oi,
+                                 sj_all[gj] + 1 - oj)]
+                v = (z00 * (i0f + 1 - I) * (j0f + 1 - J)
+                     + z10 * (I - i0f) * (j0f + 1 - J)
+                     + z01 * (i0f + 1 - I) * (J - j0f)
+                     + z11 * (I - i0f) * (J - j0f))
+            gg, ii = np.meshgrid(gj, gi)
+            outs.append(pa.table({
+                "gi": pa.array(ii.ravel()),
+                "gj": pa.array(gg.ravel()),
+                "value": pa.array(v.ravel(), pa.float64())}))
+        return pa.concat_tables(outs)
+
+    return tiles_ds.map_batches(emit, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
 def sample_points(points_ds, values, transform, *, mode="bilinear",
                   nodata=np.nan, x_col="lon", y_col="lat"):
     """Raster<-vector sampling join: broadcast the grid once, sample per

@@ -69,3 +69,37 @@ class TestTileSample:
         # sharded residue path must still answer each point exactly
         self._check("bilinear", n=20000, seed=9, spread=False,
                     nblocks=16)
+
+
+class TestRegridTiles:
+    def _check(self, method, new_dx, new_dy):
+        from karta_ray.kernels.raster import resample
+        from karta_ray.stages.raster import regrid_tiles_stage
+
+        want, _t = resample(_grid(), T, new_dx, new_dy, method=method)
+        got = regrid_tiles_stage(
+            _tiles(overlap=1 if method == "bilinear" else 0),
+            transform=T, shape=SHAPE, new_dx=new_dx, new_dy=new_dy,
+            method=method).to_pandas()
+        got = got.sort_values(["gi", "gj"]).reset_index(drop=True)
+        keep = ~np.isnan(want.ravel())
+        assert len(got) == int(keep.sum())
+        ny, nx = want.shape
+        idx = got["gi"].to_numpy() * nx + got["gj"].to_numpy()
+        assert (idx == np.flatnonzero(keep)).all()
+        # bit-exact vs the driver-side kernel
+        assert (got["value"].to_numpy() == want.ravel()[keep]).all()
+
+    def test_nearest_downsample(self, ray_session):
+        self._check("nearest", 3.0, 2.0)
+
+    def test_nearest_upsample(self, ray_session):
+        self._check("nearest", 0.5, 0.5)
+
+    def test_bilinear_downsample(self, ray_session):
+        self._check("bilinear", 2.5, 1.5)
+
+    def test_bilinear_upsample_edges_drop(self, ray_session):
+        # upsampled edge centers whose 2x2 support leaves the grid are
+        # nodata in the kernel and absent here — counts must agree
+        self._check("bilinear", 0.5, 0.5)

@@ -213,12 +213,14 @@ def scaling_main():
         "read_floor_sec_8": results[8].get("read_floor_sec"),
         "read_floor_sec_32": results[32].get("read_floor_sec"),
         "efficiency_8_to_32_compute": round(eff_compute_8_32, 4),
-        "note": "8->32 bends ONLY on the non-scaling single-host "
+        "note": "8->32 bends on the non-scaling single-host "
                 "input-decode floor (read_floor: bare parquet "
-                "read+decode, no engine work — page-fault bound on "
-                "this VM, node-parallel on a real cluster); engine "
-                "compute net of that floor scales >=0.8. 2->8 is the "
-                "unsaturated N->4N evidence. Full curve in BASELINE.md",
+                "read+decode with NO engine work — page-fault bound "
+                "on this VM, node-parallel on a real cluster); "
+                "efficiency_8_to_32_compute nets that floor out and "
+                "is the cluster-relevant term (measured 0.76-1.05 "
+                "across host windows). 2->8 is the unsaturated N->4N "
+                "evidence. Full curve in BASELINE.md",
     }))
 
 

@@ -389,7 +389,10 @@ def main():
     ab = None
     if os.environ.get("GRAFT_BENCH_AB", "1") != "0":
         try:
-            ab = ab_block(AB_BASE_REV, reps=3, pages_dir=pages_dir)
+            # 5 interleaved reps/side: 3-rep medians still swing ±12%
+            # between windows (measured 0.94 vs 1.16 for near-identical
+            # sides); 5 is the smallest count whose median stays stable
+            ab = ab_block(AB_BASE_REV, reps=5, pages_dir=pages_dir)
         except Exception as exc:  # missing rev/worktree: disclose, don't die
             ab = {"error": f"{type(exc).__name__}: {exc}"}
 

@@ -884,6 +884,75 @@ FROM s GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# 12. Document chunking (r5): fixed-size overlapping character chunks —
+# the standard LLM-pretraining prep step. Vectorized as one Arrow
+# utf8_slice per CHUNK INDEX over the whole batch column (no per-doc
+# Python slicing); chunk identity travels as md5 so the output is rows
+# of (doc_id, chunk_id, n_chars, chunk_md5), not the text itself.
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 500
+CHUNK_OVERLAP = 100
+CHUNK_STEP = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+def q_chunk_documents(sf_dir: str):
+    import hashlib
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.nulls(0, batch.schema.field("doc_id").type),
+            "chunk_id": pa.array([], pa.int64()),
+            "n_chars": pa.array([], pa.int64()),
+            "chunk_md5": pa.array([], pa.string())})
+        text = batch.column("text")
+        L = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        outs = [empty]
+        k = 0
+        while True:
+            start = k * CHUNK_STEP
+            m = L > start          # a chunk exists iff it is non-empty
+            if not m.any():
+                break
+            sel = batch.filter(pa.array(m))
+            piece = pc.utf8_slice_codeunits(
+                sel.column("text"), start=start, stop=start + CHUNK_SIZE)
+            md5s = [hashlib.md5(x.encode()).hexdigest()
+                    for x in piece.to_pylist()]
+            outs.append(pa.table({
+                "doc_id": sel.column("doc_id"),
+                "chunk_id": pa.array(
+                    np.full(sel.num_rows, k, dtype=np.int64)),
+                "n_chars": pc.utf8_length(piece).cast(pa.int64()),
+                "chunk_md5": pa.array(md5s, pa.string())}))
+            k += 1
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(chunks, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents)
+SELECT d.doc_id,
+       u.k AS chunk_id,
+       CAST(length(substr(d.text, CAST(u.k * {CHUNK_STEP} + 1 AS BIGINT),
+                          {CHUNK_SIZE})) AS BIGINT) AS n_chars,
+       md5(substr(d.text, CAST(u.k * {CHUNK_STEP} + 1 AS BIGINT),
+                  {CHUNK_SIZE})) AS chunk_md5
+FROM d, unnest(range(0, CAST(floor((d.L - 1) / {CHUNK_STEP}) AS BIGINT)
+                        + 1)) u(k)
+WHERE d.L > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -901,6 +970,7 @@ def new_queries4() -> dict:
         "grid_profile": q_grid_profile,
         "grid_resample": q_grid_resample,
         "session_windows": q_session_windows,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -917,4 +987,5 @@ def new_oracle_sqls4() -> dict:
         "grid_profile": _grid_profile_sql(),
         "grid_resample": _grid_resample_sql(),
         "session_windows": _session_windows_sql(),
+        "chunk_documents": CHUNK_DOCUMENTS_SQL,
     }

@@ -245,3 +245,32 @@ def test_funnel_user_straddling_blocks(ray_session):
         assert out.loc[100 + b] == 1
     # exactly one row per user (no duplicate emission from the residue)
     assert out.index.is_unique
+
+
+class TestChunkDocuments:
+    def test_chunk_boundaries(self, ray_session):
+        # step=400: len 400 -> 1 chunk (k=1 start 400 not < L);
+        # len 401 -> 2 chunks (second is 1 char); len 500 -> 2 chunks
+        # (second is the 100-char overlap tail); empty -> none
+        import ray
+
+        import pyarrow as pa
+        from karta_ray.pipelines.queries4 import q_chunk_documents
+
+        docs = pa.table({
+            "doc_id": pa.array(["a", "b", "c", "d"]),
+            "text": pa.array(["x" * 400, "y" * 401, "z" * 500, ""]),
+        })
+        import os
+        import tempfile
+
+        import pyarrow.parquet as pq
+        with tempfile.TemporaryDirectory() as td:
+            pq.write_table(docs, os.path.join(td, "documents.parquet"))
+            got = (q_chunk_documents(td).to_pandas()
+                   .sort_values(["doc_id", "chunk_id"])
+                   .reset_index(drop=True))
+        rows = list(map(tuple, got[["doc_id", "chunk_id",
+                                    "n_chars"]].to_numpy()))
+        assert rows == [("a", 0, 400), ("b", 0, 401), ("b", 1, 1),
+                        ("c", 0, 500), ("c", 1, 100)]

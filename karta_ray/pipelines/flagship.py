@@ -10,12 +10,11 @@ small groupby over (poly_id, cell_id) pre-aggregated inside map_batches.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 from .. import synth
 from ..stages.extract import extract_geotag_stage
-from ..stages.join import PolyJoiner, pip_join
+from ..stages.join import pip_join
 from ..stages.tiles import assign_cells
 
 
@@ -95,8 +94,6 @@ def flagship_checkpointed(pages_dir: str, ckpt_root: str, *, zoom: int = 7,
 def _partial_counts(batch: pa.Table) -> pa.Table:
     """Combiner: per-batch (poly_id, cell_id) counts, shrinking the
     shuffle input by ~batch_size/groups before the global groupby."""
-    import pyarrow.compute as pc
-
     t = batch.select(["poly_id", "cell_id"])
     g = t.group_by(["poly_id", "cell_id"]).aggregate([("cell_id", "count")])
     return g.rename_columns(["poly_id", "cell_id", "n"])

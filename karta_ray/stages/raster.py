@@ -372,6 +372,11 @@ def tile_sample_stage(points_ds, tiles_ds, *, transform, shape,
     Reference semantics: karta ``Grid.sample`` / ``Grid.profile``
     (karta/raster/grid.py:971-1064, crfuncs.pyx:48-157).
 
+    ``tiles_ds`` must hold ONE raster layer (single grid_id/band):
+    routing keys on (tile_i, tile_j) only — to sample several layers,
+    call once per layer (the point side re-streams; the tile side is
+    layer-sized anyway).
+
     Returns ``keep_cols + [x_col, y_col, out_col]`` with ``out_col``
     float64.
     """
@@ -504,7 +509,8 @@ def regrid_tiles_stage(tiles_ds, *, transform, shape, new_dx, new_dy,
     indices via ``positions``, integer offsets into the local block).
 
     Axis-aligned source only (``sx == sy == 0``); the reference keeps
-    shear through resample, which the shuffle path supports.
+    shear through resample, which the shuffle path supports. Like
+    :func:`tile_sample_stage`, ``tiles_ds`` must hold one raster layer.
 
     Returns rows (gi, gj, value) with value float64.
     """

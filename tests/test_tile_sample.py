@@ -103,3 +103,30 @@ class TestRegridTiles:
         # upsampled edge centers whose 2x2 support leaves the grid are
         # nodata in the kernel and absent here — counts must agree
         self._check("bilinear", 0.5, 0.5)
+
+
+class TestTileSeams:
+    def test_exact_seam_positions(self, ray_session):
+        # points whose float index I is EXACTLY integer at tile seams
+        # exercise the _lohi integer branch (lo = v-1): the point
+        # routes to the PREVIOUS tile and reads its +1 halo row/col
+        import ray
+
+        from karta_ray.kernels import raster as RK
+        from karta_ray.stages.raster import tile_sample_stage
+
+        # tile=32: seams at source index 31/32, 63/64; I = y - (-5) - 0.5
+        seam_is = np.array([32.0, 64.0, 1.0, 0.0])   # integer positions
+        y = seam_is + T[1] + 0.5
+        x = np.full_like(y, 17.0 + T[0] + 0.5)       # interior column
+        pts = pa.table({"x": pa.array(x), "y": pa.array(y),
+                        "pid": pa.array(np.arange(len(y),
+                                                  dtype=np.int64))})
+        got = tile_sample_stage(
+            ray.data.from_arrow(pts).repartition(2), _tiles(overlap=1),
+            transform=T, shape=SHAPE, tile=32, mode="bilinear",
+            keep_cols=("pid",)).to_pandas().sort_values("pid")
+        want = RK.sample_bilinear(T, _grid(), x, y)
+        keep = ~np.isnan(want)
+        assert got["pid"].tolist() == np.flatnonzero(keep).tolist()
+        assert (got["value"].to_numpy() == want[keep]).all()

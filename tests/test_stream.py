@@ -72,3 +72,22 @@ class TestSessionWindows:
         assert got == [
             (0, 0, 0, (n // 2 - 1) * 3, n // 2),
             (0, 1, (n // 2) * 3 + 10**9, (n - 1) * 3 + 10**9, n - n // 2)]
+
+    def test_rollup_matches_sessionize_query(self, ray_session):
+        # cross-operator consistency on real testdata: rolling the
+        # per-window rows up per user must reproduce the independent
+        # batch sessionize query (n_events total, n_sessions = number
+        # of windows)
+        import __ray_entry__ as entry
+
+        qs = entry.queries()
+        sf = "/root/testdata/sf0.001"
+        win = (qs["session_windows"](sf).to_pandas()
+               .groupby("user_id")
+               .agg(n_events=("n_events", "sum"),
+                    n_sessions=("session_id", "count")))
+        sess = (qs["sessionize"](sf).to_pandas()
+                .set_index("user_id").sort_index())
+        win = win.sort_index()
+        assert (win.n_events == sess.n_events).all()
+        assert (win.n_sessions == sess.n_sessions).all()

@@ -525,7 +525,10 @@ def regrid_tiles_stage(tiles_ds, *, transform, shape, new_dx, new_dy,
 
     # global 1-D index maps (separable because shear is zero); the
     # positions() call keeps the float-op order identical to the
-    # point-sampling paths
+    # point-sampling paths. Broadcast ONCE via ray.put (a 10^7-pixel
+    # axis is an 80 MB map — shipped per task through closure capture
+    # it would re-serialize with every tile task) and cached per
+    # worker process.
     gi_all = np.arange(ny_new, dtype=np.int64)
     gj_all = np.arange(nx_new, dtype=np.int64)
     x_all, _ = RK.world_coords(new_t, np.zeros(nx_new), gj_all)
@@ -538,8 +541,18 @@ def regrid_tiles_stage(tiles_ds, *, transform, shape, new_dx, new_dy,
     else:
         si_all = RK._lohi(I_all)[0]
         sj_all = RK._lohi(J_all)[0]
+    maps_ref = ray.put({"gi": gi_all, "gj": gj_all, "I": I_all,
+                        "J": J_all, "si": si_all, "sj": sj_all})
+    cache: dict = {}
 
     def emit(batch: pa.Table) -> pa.Table:
+        maps = cache.get("m")
+        if maps is None:
+            maps = ray.get(maps_ref)
+            cache["m"] = maps
+        gi_all, gj_all = maps["gi"], maps["gj"]
+        I_all, J_all = maps["I"], maps["J"]
+        si_all, sj_all = maps["si"], maps["sj"]
         outs = [pa.table({"gi": pa.array([], pa.int64()),
                           "gj": pa.array([], pa.int64()),
                           "value": pa.array([], pa.float64())})]

@@ -282,8 +282,15 @@ def ab_block(rev: str, reps: int = 5, pages_dir: str | None = None) -> dict:
 
     times = {"a": [], "b": []}
     rows = {}
-    for _ in range(reps):
-        for side, repo in (("a", here), ("b", wt)):
+    for rep in range(reps):
+        # alternate which side runs first each rep: with a fixed A-then-B
+        # order, any first-position transient (page-cache state left by
+        # the previous child's exit) penalizes the same side every rep
+        # and shows up as a phantom 10-15% ratio shift between windows
+        order = (("a", here), ("b", wt))
+        if rep % 2:
+            order = order[::-1]
+        for side, repo in order:
             p = subprocess.run(
                 [sys.executable, "-c", _AB_CHILD, repo, str(NUM_CPUS),
                  pages_dir, str(N_PAGES)],
